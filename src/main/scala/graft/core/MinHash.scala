@@ -1,0 +1,182 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Sketch configuration — the compatibility key of the engine.
+ *
+ * Mirrors the reference's `KmerMinHash` parameters
+ * (`/root/reference/src/lib.rs:38-46`): `num` (bottom-k size; 0 = scaled
+ * mode), `ksize` (shingle length), `isProtein` (token alphabet), `seed`
+ * (murmur seed, default 42, `/root/reference/src/lib.rs:53`), `maxHash`
+ * (scaled-mode unsigned cutoff; 0 = bottom-k mode).
+ *
+ * Two sketches may only be compared when ksize, moltype, maxHash and seed
+ * all agree (`check_compatible`, `/root/reference/src/lib.rs:176-190`). In
+ * the Spark engine this is validated once per pipeline, not per row.
+ */
+final case class SketchConfig(
+    num: Int = 1000,
+    ksize: Int = 21,
+    isProtein: Boolean = false,
+    seed: Long = 42L,
+    maxHash: Long = 0L,
+    trackAbundance: Boolean = false) {
+
+  require(num >= 0, "num must be >= 0")
+
+  def compatible(other: SketchConfig): Boolean =
+    ksize == other.ksize && isProtein == other.isProtein &&
+      maxHash == other.maxHash && seed == other.seed
+
+  /** Reference deserialize rule: scaled mode wins over bottom-k
+    * (`/root/reference/src/lib.rs:123`). */
+  def normalized: SketchConfig = if (maxHash != 0L) copy(num = 0) else this
+}
+
+/**
+ * Mutable MinHash sketch builder with the reference's exact `add_hash`
+ * semantics (`/root/reference/src/lib.rs:192-245`), including the bottom-k
+ * eviction rule and the scaled-mode cutoff, under UNSIGNED 64-bit order.
+ *
+ * Used for reference-parity tests and the signature compatibility layer.
+ * The distributed hot path uses [[MinHash.sketchHashes]] (a batch
+ * formulation proven equivalent by property tests).
+ */
+final class SketchBuilder(val cfg: SketchConfig) {
+  val mins: ArrayBuffer[Long] = new ArrayBuffer[Long](math.max(cfg.num, 16))
+  val abunds: ArrayBuffer[Long] =
+    if (cfg.trackAbundance) new ArrayBuffer[Long](math.max(cfg.num, 16)) else null
+
+  def size: Int = mins.length
+
+  /** Verbatim port of `add_hash` (`/root/reference/src/lib.rs:192-245`). */
+  def addHash(hash: Long): Unit = {
+    val currentMax = if (mins.isEmpty) -1L /* u64::MAX */ else mins.last
+
+    if (U64.le(hash, cfg.maxHash) || cfg.maxHash == 0L) {
+      if (mins.isEmpty) {
+        mins += hash
+        if (abunds != null) abunds += 1L
+      } else if (U64.le(hash, cfg.maxHash) || U64.gt(currentMax, hash) ||
+          mins.length < cfg.num) {
+        var pos = lowerBound(hash)
+        if (pos == mins.length) {
+          mins += hash
+          if (abunds != null) abunds += 1L
+        } else if (mins(pos) != hash) {
+          mins.insert(pos, hash)
+          if (abunds != null) abunds.insert(pos, 1L)
+          if (cfg.num != 0 && mins.length > cfg.num) {
+            mins.remove(mins.length - 1)
+            if (abunds != null) abunds.remove(abunds.length - 1)
+          }
+        } else if (abunds != null) {
+          abunds(pos) += 1L
+        }
+      }
+    }
+  }
+
+  /** First index whose value is >= hash (unsigned), i.e. Rust
+    * `binary_search` Ok(p)|Err(p). */
+  private def lowerBound(hash: Long): Int = {
+    var lo = 0
+    var hi = mins.length
+    val k = hash ^ Long.MinValue
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if ((mins(mid) ^ Long.MinValue) < k) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  def addWord(word: Array[Byte]): Unit = addHash(Murmur3.hash64(word, cfg.seed))
+
+  def addMany(hashes: Iterable[Long]): Unit = hashes.foreach(addHash)
+
+  def result(): Array[Long] = mins.toArray
+
+  def abundances(): Array[Long] = if (abunds == null) null else abunds.toArray
+}
+
+/**
+ * Immutable sketch algebra over unsigned-sorted `Array[Long]` mins — the
+ * engine's comparison kernel. Each function documents the reference
+ * operator it re-expresses.
+ */
+object MinHash {
+
+  /**
+   * Batch sketch of a hash stream — the distributed hot path.
+   *
+   * Equivalent to feeding every hash through `add_hash`
+   * (`/root/reference/src/lib.rs:192-245`) and reading `mins`:
+   * scaled mode (`maxHash > 0`) keeps every distinct hash `<= maxHash`
+   * (unsigned); bottom-k mode keeps the `num` smallest distinct hashes.
+   * Property-tested equivalent to [[SketchBuilder]].
+   */
+  def sketchHashes(hashes: Array[Long], cfg: SketchConfig): Array[Long] = {
+    if (cfg.maxHash != 0L) {
+      var n = 0
+      val kept = new Array[Long](hashes.length)
+      var i = 0
+      while (i < hashes.length) {
+        if (U64.le(hashes(i), cfg.maxHash)) { kept(n) = hashes(i); n += 1 }
+        i += 1
+      }
+      U64.sortedDistinct(java.util.Arrays.copyOf(kept, n))
+    } else {
+      val sd = U64.sortedDistinct(hashes)
+      if (cfg.num > 0 && sd.length > cfg.num) java.util.Arrays.copyOf(sd, cfg.num)
+      else sd
+    }
+  }
+
+  /** Merge-union of two sketches re-truncated to `num` in bottom-k mode —
+    * `merge` (`/root/reference/src/lib.rs:307-403`), abundance quirks
+    * deliberately not replicated (SURVEY.md §7). */
+  def merge(a: Array[Long], b: Array[Long], cfg: SketchConfig): Array[Long] = {
+    val u = U64.mergeUnion(a, b)
+    if (cfg.num > 0 && u.length >= cfg.num) java.util.Arrays.copyOf(u, cfg.num)
+    else u
+  }
+
+  /** `count_common` (`/root/reference/src/lib.rs:428-436`). */
+  def countCommon(a: Array[Long], b: Array[Long]): Long =
+    U64.intersectSize(a, b).toLong
+
+  /**
+   * `intersection_size` (`/root/reference/src/lib.rs:464-499`) — the KEY
+   * semantic: the denominator is the re-truncated combined sketch, not the
+   * plain union. Returns (|A ∩ B ∩ combined|, |combined|). In scaled mode
+   * this degenerates to (|A∩B|, |A∪B|).
+   */
+  def intersectionSize(a: Array[Long], b: Array[Long], cfg: SketchConfig): (Long, Long) = {
+    val combined = merge(a, b, cfg)
+    // A∩B is a subset of A∪B; in bottom-k mode `combined` may be truncated,
+    // so re-intersect against it (linear merges over sorted arrays).
+    val ab = new Array[Long](math.min(a.length, b.length))
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Long.compareUnsigned(a(i), b(j))
+      if (c == 0) { ab(n) = a(i); n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val common = U64.intersectSize(java.util.Arrays.copyOf(ab, n), combined)
+    (common.toLong, combined.length.toLong)
+  }
+
+  /** Jaccard similarity estimate — `compare`
+    * (`/root/reference/src/lib.rs:501-508`): `common / max(1, denom)`. */
+  def compare(a: Array[Long], b: Array[Long], cfg: SketchConfig): Double = {
+    val (common, denom) = intersectionSize(a, b, cfg)
+    common.toDouble / math.max(1L, denom).toDouble
+  }
+
+  /** Asymmetric containment — `Comparable::containment`
+    * (`/root/reference/src/index.rs:146-160`): `count_common / |A|`. */
+  def containment(a: Array[Long], b: Array[Long]): Double =
+    if (a.isEmpty) 0.0 else countCommon(a, b).toDouble / a.length.toDouble
+}

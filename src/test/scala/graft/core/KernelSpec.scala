@@ -1,0 +1,214 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Stage-0 kernel parity tests (SURVEY.md §5 layers 1, 3, 4).
+  * Property tests use seeded randoms (deterministic across runs). */
+class KernelSpec extends AnyFunSuite {
+
+  /** Run `body` across `n` seeded random trials. */
+  private def trials(n: Int)(body: Random => Unit): Unit =
+    (0 until n).foreach(i => body(new Random(42L + i)))
+
+  /** Mixed-density hash generator: small dense values force collisions,
+    * full-range values exercise unsigned ordering (high bit set). */
+  private def genHashes(r: Random): List[Long] = {
+    val n = r.nextInt(60)
+    List.fill(n)(if (r.nextBoolean()) r.nextInt(1000).toLong else r.nextLong())
+  }
+
+  private def unsignedSorted(xs: Seq[Long]): List[Long] =
+    xs.sortBy(x => BigInt(java.lang.Long.toUnsignedString(x))).toList
+
+  // ---- golden-value tests (reference test vectors) -------------------
+
+  test("murmur3_x64_128 low64 golden vector ACG/42 (reference tests/test.rs:3-6)") {
+    assert(Murmur3.hash64("ACG", 42L) === 1731421407650554201L)
+  }
+
+  test("murmur3 handles all tail lengths and offsets") {
+    val data = Array.tabulate[Byte](40)(i => (i * 7 + 3).toByte)
+    val hs = (0 to 40).map(n => Murmur3.hash64(data, 0, n, 42L))
+    assert(hs.distinct.size === hs.size)
+    val slice = java.util.Arrays.copyOfRange(data, 5, 29)
+    assert(Murmur3.hash64(slice, 0, 24, 7L) === Murmur3.hash64(data, 5, 24, 7L))
+  }
+
+  // ---- unsigned-64 helpers ------------------------------------------
+
+  test("unsigned sort matches BigInt order") {
+    trials(50) { r =>
+      val xs = genHashes(r)
+      assert(U64.sortUnsigned(xs.toArray).toList === unsignedSorted(xs))
+    }
+  }
+
+  test("sortedDistinct / intersectSize / mergeUnion agree with Set semantics") {
+    trials(50) { r =>
+      val xs = genHashes(r); val ys = genHashes(r)
+      val a = U64.sortedDistinct(xs.toArray)
+      val b = U64.sortedDistinct(ys.toArray)
+      assert(a.toSet === xs.toSet)
+      assert(a.toList === unsignedSorted(xs.distinct))
+      assert(U64.intersectSize(a, b) === (xs.toSet & ys.toSet).size)
+      assert(U64.mergeUnion(a, b).toSet === (xs.toSet | ys.toSet))
+    }
+  }
+
+  // ---- add_hash semantics -------------------------------------------
+
+  test("bottom-k addHash keeps the num smallest distinct hashes (any insert order)") {
+    trials(50) { r =>
+      val xs = genHashes(r)
+      val num = 1 + r.nextInt(8)
+      val sb = new SketchBuilder(SketchConfig(num = num, maxHash = 0L))
+      xs.foreach(sb.addHash)
+      assert(sb.result().toList === unsignedSorted(xs.distinct).take(num))
+    }
+  }
+
+  test("scaled addHash keeps every distinct hash <= maxHash unsigned") {
+    trials(50) { r =>
+      val xs = genHashes(r)
+      val mh = 1L + r.nextInt(500)
+      val sb = new SketchBuilder(SketchConfig(num = 0, maxHash = mh))
+      xs.foreach(sb.addHash)
+      assert(sb.result().toList === unsignedSorted(xs.distinct.filter(x => U64.le(x, mh))))
+    }
+  }
+
+  test("batch sketchHashes ≡ sequential addHash (both modes)") {
+    trials(80) { r =>
+      val xs = genHashes(r)
+      val mh = if (r.nextBoolean()) 0L else 1L + r.nextInt(600)
+      val cfg = SketchConfig(num = if (mh != 0) 7 else 1 + r.nextInt(6), maxHash = mh).normalized
+      val sb = new SketchBuilder(cfg)
+      xs.foreach(sb.addHash)
+      assert(MinHash.sketchHashes(xs.toArray, cfg).toList === sb.result().toList)
+    }
+  }
+
+  test("abundance tracking counts duplicate inserts") {
+    val sb = new SketchBuilder(SketchConfig(num = 3, trackAbundance = true))
+    Seq(5L, 3L, 5L, 9L, 3L, 3L, 100L, 5L).foreach(sb.addHash)
+    assert(sb.result().toList === List(3L, 5L, 9L))
+    assert(sb.abundances().toList === List(3L, 3L, 1L))
+  }
+
+  // ---- comparison kernel --------------------------------------------
+
+  test("merge truncates to num in bottom-k mode (reference lib.rs:392-400)") {
+    val m = MinHash.merge(Array(1L, 5L, 9L), Array(2L, 5L, 11L), SketchConfig(num = 4))
+    assert(m.toList === List(1L, 2L, 5L, 9L))
+  }
+
+  test("intersection_size uses the combined-sketch denominator (reference lib.rs:464-499)") {
+    val cfg = SketchConfig(num = 4)
+    val a = Array(1L, 4L, 8L, 20L)
+    val b = Array(2L, 4L, 8L, 30L)
+    // combined = first 4 of union {1,2,4,8,20,30} = {1,2,4,8}
+    // common  = A∩B = {4,8}; ∩ combined = {4,8}
+    assert(MinHash.intersectionSize(a, b, cfg) === ((2L, 4L)))
+    assert(MinHash.compare(a, b, cfg) === 0.5)
+  }
+
+  test("bottom-k truncation can drop common hashes from the numerator") {
+    val cfg = SketchConfig(num = 2)
+    // combined = {1,2}; A∩B = {50} but 50 ∉ combined → common = 0
+    assert(MinHash.intersectionSize(Array(1L, 50L), Array(2L, 50L), cfg) === ((0L, 2L)))
+  }
+
+  test("compare properties: identity=1, symmetry, range [0,1]") {
+    trials(50) { r =>
+      val cfg = SketchConfig(num = r.nextInt(9))
+      val a = MinHash.sketchHashes((1L :: genHashes(r)).toArray, cfg)
+      val b = MinHash.sketchHashes((2L :: genHashes(r)).toArray, cfg)
+      val s = MinHash.compare(a, b, cfg)
+      assert(s >= 0.0 && s <= 1.0)
+      assert(MinHash.compare(b, a, cfg) === s)
+      assert(MinHash.compare(a, a, cfg) === 1.0)
+    }
+  }
+
+  test("scaled-mode compare = plain Jaccard; containment of subset = 1") {
+    trials(50) { r =>
+      val cfg = SketchConfig(num = 0, maxHash = 400L)
+      val xs = List.fill(1 + r.nextInt(40))(r.nextInt(300).toLong)
+      val ys = List.fill(1 + r.nextInt(40))(r.nextInt(300).toLong)
+      val a = MinHash.sketchHashes(xs.toArray, cfg)
+      val b = MinHash.sketchHashes(ys.toArray, cfg)
+      val jac = (xs.toSet & ys.toSet).size.toDouble /
+        math.max(1, (xs.toSet | ys.toSet).size).toDouble
+      assert(MinHash.compare(a, b, cfg) === jac)
+      assert(MinHash.containment(a, MinHash.merge(a, b, cfg)) === 1.0)
+    }
+  }
+
+  test("recombination: merge(sketch(a), sketch(b)) == sketch(a ++ b) (SURVEY §5.3)") {
+    trials(50) { r =>
+      val cfg = SketchConfig(num = r.nextInt(9))
+      val xs = genHashes(r); val ys = genHashes(r)
+      val m = MinHash.merge(
+        MinHash.sketchHashes(xs.toArray, cfg),
+        MinHash.sketchHashes(ys.toArray, cfg), cfg)
+      assert(m.toList === MinHash.sketchHashes((xs ++ ys).toArray, cfg).toList)
+    }
+  }
+
+  // ---- tokenizers ----------------------------------------------------
+
+  test("DNA canonical k-mers: sequence and its revcomp sketch identically") {
+    val seq = "ACGTTAGCCAGTTTTAAACCGGGT".getBytes
+    val rc = Shingles.revcomp(seq)
+    val cfg = SketchConfig(num = 500, ksize = 5)
+    val h1 = MinHash.sketchHashes(Shingles.dnaKmerHashes(seq, 5, 42L, force = false), cfg)
+    val h2 = MinHash.sketchHashes(Shingles.dnaKmerHashes(rc, 5, 42L, force = false), cfg)
+    assert(h1.toList === h2.toList)
+    assert(h1.nonEmpty)
+  }
+
+  test("DNA invalid character raises unless force") {
+    val seq = "ACGTNACGT".getBytes
+    assertThrows[Shingles.InvalidDnaException] {
+      Shingles.dnaKmerHashes(seq, 3, 42L, force = false)
+    }
+    // valid windows: ACG,CGT (before N) + ACG,CGT (after N) = 4
+    assert(Shingles.dnaKmerHashes(seq, 3, 42L, force = true).length === 4)
+  }
+
+  test("ACG canonical hash goes through murmur golden path") {
+    // canonical(ACG) = min(ACG, revcomp(ACG)=CGT) = ACG → golden murmur value
+    val hs = Shingles.dnaKmerHashes("ACG".getBytes, 3, 42L, force = false)
+    assert(hs.toList === List(1731421407650554201L))
+  }
+
+  test("protein 6-frame translation produces hashes; lowercase input uppercased") {
+    val seq = "ACGTTAGCCAGTTTTAAACCGGGT"
+    val hs = Shingles.proteinKmerHashes(seq.getBytes, 9, 42L)
+    val hsLower = Shingles.proteinKmerHashes(seq.toLowerCase.getBytes, 9, 42L)
+    assert(hs.nonEmpty)
+    assert(hs.toList === hsLower.toList)
+  }
+
+  test("simhash: identical inputs → distance 0; disjoint inputs differ") {
+    val a = Shingles.simhash64(Shingles.charShingleHashes("the quick brown fox jumps", 3, 42L))
+    val b = Shingles.simhash64(Shingles.charShingleHashes("the quick brown fox jumps", 3, 42L))
+    val c = Shingles.simhash64(Shingles.charShingleHashes("zzz completely different 12345", 3, 42L))
+    assert(java.lang.Long.bitCount(a ^ b) === 0)
+    assert(java.lang.Long.bitCount(a ^ c) > 10)
+  }
+
+  test("byte shingles: stride subsampling is a subset of stride-1 shingles") {
+    val bytes = Array.tabulate[Byte](100)(i => (i * 31 + 7).toByte)
+    val all = Shingles.byteShingleHashes(bytes, 8, 1, 42L)
+    val strided = Shingles.byteShingleHashes(bytes, 8, 4, 42L)
+    assert(strided.toSet.subsetOf(all.toSet))
+    assert(strided.length === 24)
+  }
+
+  test("normalizeText collapses whitespace and lowercases") {
+    assert(Shingles.normalizeText("  Hello\t WORLD\n ") === "hello world")
+    assert(Shingles.tokenize("a  b\tc").toList === List("a", "b", "c"))
+  }
+}
