@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local smoke runner: flagship entry + row count (mirrors the driver's
+  * t1 smoke). `sbt -batch "runMain graft.Smoke"`. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    println(f"[smoke] entry rows = $n in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    df.show(10, truncate = false)
+    spark.stop()
+  }
+}

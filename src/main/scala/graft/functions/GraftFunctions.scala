@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.sources.ImageCodec
+
+/**
+ * Column-level functions of the engine — the Spark surface of the
+ * reference's FFI verbs (`/root/reference/src/ffi.rs`: add_sequence /
+ * compare / containment / merge re-expressed as columns).
+ *
+ * Scalar kernels run as Scala UDFs over primitive arrays (codegen handles
+ * the surrounding plan; the UDF bodies are tight `while`-loop kernels from
+ * `graft.core`). Pure-relational pieces (Hamming distance, banding keys,
+ * exact hashes) use built-in codegen'd `functions._` only.
+ */
+object GraftFunctions {
+
+  /** murmur3_x64_128 low-64 of a string, reference `_hash_murmur`
+    * (`/root/reference/src/lib.rs:33-35`). */
+  def murmur64(c: Column, seed: Long = 42L): Column = {
+    val f = udf((s: String) => if (s == null) null else java.lang.Long.valueOf(Murmur3.hash64(s, seed)))
+    f(c)
+  }
+
+  /** Caption MinHash sketch: normalized char-k-shingles → bottom-num mins. */
+  def captionMinhash(caption: Column, cfg: SketchConfig): Column = {
+    val k = cfg.ksize; val seed = cfg.seed; val localCfg = cfg
+    val f = udf((s: String) =>
+      if (s == null) Array.emptyLongArray
+      else MinHash.sketchHashes(Shingles.charShingleHashes(s, k, seed), localCfg))
+    f(caption)
+  }
+
+  /** Caption SimHash64 fingerprint over the same shingle stream. */
+  def captionSimhash(caption: Column, ksize: Int, seed: Long = 42L): Column = {
+    val f = udf((s: String) =>
+      if (s == null) 0L else Shingles.simhash64(Shingles.charShingleHashes(s, ksize, seed)))
+    f(caption)
+  }
+
+  /**
+   * Image MinHash sketch: decode → coarse-normalize pixels → byte-shingle
+   * → bottom-num mins. Unknown formats fall back to raw-byte shingles (the
+   * multimodal stub path — real deployments plug a decoder there).
+   */
+  def imageMinhash(bytes: Column, fmt: Column, cfg: SketchConfig, stride: Int = 4): Column = {
+    val k = cfg.ksize; val seed = cfg.seed; val localCfg = cfg; val s = stride
+    val f = udf((b: Array[Byte], f0: String) =>
+      if (b == null) Array.emptyLongArray
+      else {
+        val payload = ImageCodec.decode(b, f0) match {
+          case Some(d) => ImageCodec.normalizeForSketch(d.rgb)
+          case None => b
+        }
+        MinHash.sketchHashes(Shingles.byteShingleHashes(payload, k, s, seed), localCfg)
+      })
+    f(bytes, fmt)
+  }
+
+  /** Reference-semantics Jaccard estimate (combined-denominator,
+    * `/root/reference/src/lib.rs:501-508`). */
+  def jaccard(a: Column, b: Column, cfg: SketchConfig): Column = {
+    val localCfg = cfg
+    val f = udf((x: Array[Long], y: Array[Long]) =>
+      if (x == null || y == null) 0.0 else MinHash.compare(x, y, localCfg))
+    f(a, b)
+  }
+
+  /** Asymmetric containment (`/root/reference/src/index.rs:146-160`). */
+  def containment(a: Column, b: Column): Column = {
+    val f = udf((x: Array[Long], y: Array[Long]) =>
+      if (x == null || y == null) 0.0 else MinHash.containment(x, y))
+    f(a, b)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints — pure built-ins
+    * (whole-stage codegen, no UDF). */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /**
+   * LSH band keys for a MinHash sketch: split mins into `bands` slices of
+   * `rowsPerBand`, hash each slice → array of band-bucket keys. Sketches
+   * shorter than a full band still emit their partial trailing band (a
+   * partial band matches only an identical partial band — no skew blowup).
+   */
+  def minhashBands(mins: Column, bands: Int, rowsPerBand: Int, seed: Long = 42L): Column = {
+    val nb = bands; val r = rowsPerBand; val s = seed
+    val f = udf((m: Array[Long]) => {
+      if (m == null || m.isEmpty) Array.emptyLongArray
+      else {
+        val n = math.min(nb, (m.length + r - 1) / r)
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val from = i * r
+          val until = math.min(from + r, m.length)
+          val bb = java.nio.ByteBuffer.allocate((until - from) * 8)
+          var j = from
+          while (j < until) { bb.putLong(m(j)); j += 1 }
+          // mix the band index into the key so band i and band j never share buckets
+          out(i) = Murmur3.hash64(bb.array(), s + i)
+          i += 1
+        }
+        out
+      }
+    })
+    f(mins)
+  }
+
+  /**
+   * Band keys for a 64-bit fingerprint (phash / simhash): split into
+   * `bands` bit-blocks. Pigeonhole guarantee: two fingerprints within
+   * Hamming distance `bands - 1` share at least one exact block.
+   * Pure built-ins — stays in whole-stage codegen.
+   */
+  def fingerprintBands(fp: Column, bands: Int): Column = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    array((0 until bands).map { i =>
+      // tag with band index (<< 8 | i) so blocks from different positions differ
+      shiftrightunsigned(fp, i * width).bitwiseAND(lit(mask)).multiply(lit(256L)).plus(lit(i.toLong))
+    }: _*)
+  }
+}

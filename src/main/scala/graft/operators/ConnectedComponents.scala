@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over an edge DataFrame via alternating
+ * large-star / small-star (Kiveris et al., "Connected Components in
+ * MapReduce and Beyond") — the Spark-native replacement for the
+ * reference's O(N²)-greedy `scaffold` clustering
+ * (`/root/reference/src/index/sbt.rs:344-455`). We match cluster
+ * assignments, not tree shape (SURVEY.md §2.4 Q7).
+ *
+ * Scale design:
+ *  - provably convergent in O(log n) rounds on any graph (vs min-label
+ *    propagation's O(diameter) — adversarial dup chains are real at web
+ *    scale);
+ *  - every round is two shuffles (groupBy min + join), partitioned by
+ *    node id; AQE coalesces as components collapse;
+ *  - `localCheckpoint` per round cuts the lineage chain (on a cluster this
+ *    becomes a checkpoint-table write, giving partition-exact resume).
+ */
+object ConnectedComponents {
+
+  /**
+   * @param edges two Long columns `src`, `dst` (undirected, dups ok).
+   * @return DataFrame (id: Long, component: Long) — component = min node
+   *         id reachable; covers only nodes appearing in `edges`.
+   */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    var e = edges.select($"src", $"dst").where($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    var lastSig: (Long, Long) = (-1L, -1L)
+    while (!converged && iter < maxIter) {
+      // ---- large-star: for every node u, connect its larger neighbors to
+      //      m = min(Γ(u) ∪ {u})
+      val bidir = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+      val mins = bidir.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src", least($"src", $"mn").as("m"))
+      val ls = bidir.join(mins, "src")
+        .where($"dst" > $"src")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .where($"src" =!= $"dst")
+        .distinct()
+
+      // ---- small-star: orient u > v; connect all smaller neighbors and u
+      //      to m = min neighbor
+      val dir = ls.select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
+      val mins2 = dir.groupBy($"src").agg(min($"dst").as("m"))
+      val ss = dir.join(mins2, "src")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .union(mins2.select($"src", $"m".as("dst")))
+        .where($"src" =!= $"dst")
+        .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
+        .distinct()
+        .localCheckpoint(true)
+
+      // order-independent edge-set signature (bit_xor avoids ANSI overflow)
+      val sig = ss.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"src", $"dst")), lit(0L)))
+        .as[(Long, Long)].first()
+      converged = sig == lastSig
+      lastSig = sig
+      e = ss
+      iter += 1
+    }
+    require(converged || maxIter == 0, s"connected components did not converge in $maxIter rounds")
+
+    // After convergence the edge set is a star stored canonically as
+    // (src = component min, dst = member).
+    val labels = e.select($"dst".as("id"), $"src".as("component"))
+      .union(e.select($"src".as("id"), $"src".as("component")))
+      .groupBy($"id").agg(min($"component").as("component"))
+    labels
+  }
+
+  /**
+   * Label every node in `nodes` (single Long column `id`): nodes absent
+   * from any edge become singleton components (component = own id).
+   */
+  def labelAll(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val lbl = run(edges, maxIter)
+    nodes.select($"id").distinct()
+      .join(lbl, Seq("id"), "left")
+      .select($"id", coalesce($"component", $"id").as("component"))
+  }
+}

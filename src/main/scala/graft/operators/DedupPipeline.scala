@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.SketchConfig
+import graft.functions.GraftFunctions._
+
+/**
+ * Tuning of the end-to-end near-duplicate pipeline (the engine's flagship
+ * query — north_rule of BASELINE.json). Defaults match the synthetic
+ * corpus' perturbation magnitudes; band/row counts give the s-curve
+ * P(detect | jaccard=0.8) ≈ 1 − (1−0.8⁴)³² ≈ 1 − 5·10⁻⁸.
+ */
+final case class DedupConfig(
+    imgSketch: SketchConfig = SketchConfig(num = 128, ksize = 16),
+    imgStride: Int = 4,
+    capSketch: SketchConfig = SketchConfig(num = 128, ksize = 4),
+    bands: Int = 32,
+    rowsPerBand: Int = 4,
+    tauImg: Double = 0.35,
+    tauCap: Double = 0.5,
+    fpBands: Int = 4,
+    phashMaxHamming: Int = 3,
+    simhashMaxHamming: Int = 3,
+    maxBucket: Int = 64,
+    substringMinLen: Int = 20,
+    ccMaxIter: Int = 25)
+
+/**
+ * The flagship operator: near-duplicate detection + clustering over the
+ * `(image_id, bytes, w, h, fmt, caption, phash)` table.
+ *
+ * Stage graph (shuffle boundaries marked ⇄):
+ *
+ *   scan → sketch (narrow; bytes projected away immediately after)
+ *        ⇄ exact-dedup pre-aggregation (groupBy exact_key — removes
+ *          exact-dup mass BEFORE LSH: the worst bucket skew becomes a
+ *          pre-aggregation, SURVEY.md §7)
+ *        → band explode (narrow)
+ *        ⇄ bucket grouping → in-bucket pair generation (capped, counted)
+ *        ⇄ pair dedup
+ *        ⇄ confirm join (pairs × sketches × sketches, AQE skew-join)
+ *        → edge filter (narrow)
+ *        ⇄ connected components (large-star/small-star, O(log n) rounds)
+ *        ⇄ representative relabel
+ *
+ * Four candidate sources are unioned, mirroring the reference's
+ * multi-sketch records (`Signature.signatures`, one per ksize×moltype —
+ * here one per modality): image MinHash bands, caption MinHash bands,
+ * phash bit-blocks, caption SimHash bit-blocks.
+ */
+object DedupPipeline {
+
+  /** Per-row sketching; `bytes` is projected away here and never shuffled. */
+  def sketches(df: DataFrame, cfg: DedupConfig): DataFrame = {
+    df.select(
+      col("image_id"),
+      captionMinhash(col("caption"), cfg.capSketch).as("cap_mins"),
+      imageMinhash(col("bytes"), col("fmt"), cfg.imgSketch, cfg.imgStride).as("img_mins"),
+      captionSimhash(col("caption"), cfg.capSketch.ksize, cfg.capSketch.seed).as("cap_simhash"),
+      col("phash"),
+      regexp_replace(lower(trim(col("caption"))), "\\s+", " ").as("cap_norm"),
+      md5(concat(md5(col("bytes")), md5(encode(col("caption"), "UTF-8")))).as("exact_key"))
+  }
+
+  /** Exact-duplicate pre-aggregation: representative per exact_key +
+    * member→representative edges. Returns (reps, exactEdges). */
+  def exactDedup(sk: DataFrame): (DataFrame, DataFrame) = {
+    val reps = sk.groupBy(col("exact_key")).agg(min(col("image_id")).as("rep"))
+    val exactEdges = sk.select(col("exact_key"), col("image_id"))
+      .join(reps, "exact_key")
+      .where(col("image_id") =!= col("rep"))
+      .select(col("image_id").as("a"), col("rep").as("b"))
+    (reps, exactEdges)
+  }
+
+  /** Candidate pairs from all four LSH sources, over representatives only. */
+  def candidates(skReps: DataFrame, cfg: DedupConfig): DataFrame = {
+    val cap = Lsh.explodeBands(
+      skReps.select(col("image_id").as("id"),
+        minhashBands(col("cap_mins"), cfg.bands, cfg.rowsPerBand, cfg.capSketch.seed).as("bk")),
+      "id", "bk", sourceTag = 1)
+    val img = Lsh.explodeBands(
+      skReps.select(col("image_id").as("id"),
+        minhashBands(col("img_mins"), cfg.bands, cfg.rowsPerBand, cfg.imgSketch.seed).as("bk")),
+      "id", "bk", sourceTag = 2)
+    val ph = Lsh.explodeBands(
+      skReps.select(col("image_id").as("id"),
+        fingerprintBands(col("phash"), cfg.fpBands).as("bk")),
+      "id", "bk", sourceTag = 3)
+    val sh = Lsh.explodeBands(
+      skReps.select(col("image_id").as("id"),
+        fingerprintBands(col("cap_simhash"), cfg.fpBands).as("bk")),
+      "id", "bk", sourceTag = 4)
+    Lsh.candidatePairs(cap.union(img).union(ph).union(sh), cfg.maxBucket)
+  }
+
+  /** Confirm candidates with reference-semantics scores; emit edges. */
+  def confirm(cands: DataFrame, sk: DataFrame, cfg: DedupConfig): DataFrame = {
+    val a = sk.select(
+      col("image_id").as("a"), col("cap_mins").as("cap_a"), col("img_mins").as("img_a"),
+      col("cap_simhash").as("sh_a"), col("phash").as("ph_a"), col("cap_norm").as("cn_a"))
+    val b = sk.select(
+      col("image_id").as("b"), col("cap_mins").as("cap_b"), col("img_mins").as("img_b"),
+      col("cap_simhash").as("sh_b"), col("phash").as("ph_b"), col("cap_norm").as("cn_b"))
+    val scored = cands.join(a, "a").join(b, "b")
+      .withColumn("img_sim", jaccard(col("img_a"), col("img_b"), cfg.imgSketch))
+      .withColumn("cap_sim", jaccard(col("cap_a"), col("cap_b"), cfg.capSketch))
+      .withColumn("ph_ham", hamming64(col("ph_a"), col("ph_b")))
+      .withColumn("sh_ham", hamming64(col("sh_a"), col("sh_b")))
+      .withColumn("cap_contain",
+        greatest(containment(col("cap_a"), col("cap_b")),
+          containment(col("cap_b"), col("cap_a"))))
+      .withColumn("substr_hit",
+        (length(col("cn_a")) >= cfg.substringMinLen && length(col("cn_b")) >= cfg.substringMinLen) &&
+          (col("cn_a").contains(col("cn_b")) || col("cn_b").contains(col("cn_a"))))
+
+    scored.where(
+      col("img_sim") >= cfg.tauImg ||
+        col("cap_sim") >= cfg.tauCap ||
+        (col("ph_ham") <= cfg.phashMaxHamming && col("cap_sim") >= 0.3) ||
+        col("sh_ham") <= cfg.simhashMaxHamming ||
+        (col("substr_hit") && col("cap_contain") >= 0.9 &&
+          (col("img_sim") >= 0.15 || col("ph_ham") <= 8)))
+      .select(col("a"), col("b"), col("img_sim"), col("cap_sim"),
+        col("ph_ham"), col("sh_ham"))
+  }
+
+  /**
+   * Full pipeline: corpus → (image_id, cluster, cluster_size).
+   * `cluster` = lexicographic-min image_id of the component (deterministic
+   * across partitionings and parallelism levels).
+   *
+   * Node ids for the CC loop come from `xxhash64(image_id)` — deterministic
+   * and collision-free at validation scale; a 10¹²-row deployment swaps in
+   * an assigned-id dimension table here (64-bit birthday collisions become
+   * material around 10¹⁰ ids).
+   */
+  def clusters(corpus: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val sk = sketches(corpus, cfg).persist()
+    val (reps, exactEdges) = exactDedup(sk)
+    val repIds = reps.select(col("rep").as("image_id"))
+    val skReps = sk.join(repIds, Seq("image_id"), "left_semi")
+    val cands = candidates(skReps, cfg)
+    val nearEdges = confirm(cands, skReps, cfg).select(col("a"), col("b"))
+
+    val edges = exactEdges.union(nearEdges)
+      .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
+    val nodes = sk.select(xxhash64(col("image_id")).as("id"))
+    val labels = ConnectedComponents.labelAll(nodes, edges, cfg.ccMaxIter)
+
+    val idmap = sk.select(col("image_id"), xxhash64(col("image_id")).as("id"))
+    val membered = idmap.join(labels, "id").select(col("image_id"), col("component"))
+    val repNames = membered.groupBy(col("component"))
+      .agg(min(col("image_id")).as("cluster"), count(lit(1)).as("cluster_size"))
+    membered.join(repNames, "component")
+      .select(col("image_id"), col("cluster"), col("cluster_size"))
+    // sk stays cached until the action completes; Spark evicts LRU. A
+    // long-lived service would unpersist after materialization.
+  }
+}

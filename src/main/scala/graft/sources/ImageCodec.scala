@@ -1,0 +1,132 @@
+package graft.sources
+
+/**
+ * Minimal deterministic image codec for the corpus rows
+ * `(image_id, bytes, w, h, fmt, caption, phash)` (BASELINE.json input_hint).
+ *
+ * Formats:
+ *  - `ppm`  — binary P6 PPM, lossless round-trip.
+ *  - `ppmq` — same container with pixel values quantized to step 4 at
+ *             encode time: a deterministic stand-in for lossy encoding
+ *             (container JPEG encoders are JVM-nondeterministic; SURVEY.md
+ *             §7 risks). Uniform step-4 quantization ⇒ MSE ≈ 1.25 ⇒
+ *             PSNR ≈ 47 dB vs source pixels, satisfying the per-row
+ *             PSNR ≥ 40 dB invariant (BASELINE.json:15).
+ *
+ * Everything here is pure and allocation-light: it runs inside executor
+ * tasks (generation, sketching, invariant checks).
+ */
+object ImageCodec {
+
+  /** Encode interleaved RGB pixels as binary P6 PPM. */
+  def encodePpm(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+    val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Quantize each channel byte to a uniform step (round-to-nearest,
+    * clamped to 255) — the simulated-lossy transform. */
+  def quantize(rgb: Array[Byte], step: Int): Array[Byte] = {
+    val out = new Array[Byte](rgb.length)
+    var i = 0
+    while (i < rgb.length) {
+      val v = rgb(i) & 0xff
+      val q = math.min(255, ((v + step / 2) / step) * step)
+      out(i) = q.toByte
+      i += 1
+    }
+    out
+  }
+
+  final case class Decoded(rgb: Array[Byte], w: Int, h: Int)
+
+  /** Decode `ppm`/`ppmq` bytes. Returns None for unknown formats (the
+    * multimodal stub path handles those). */
+  def decode(bytes: Array[Byte], fmt: String): Option[Decoded] = fmt match {
+    case "ppm" | "ppmq" => decodePpm(bytes)
+    case _ => None
+  }
+
+  def decodePpm(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    // header: "P6\n<w> <h>\n255\n" — parse three whitespace-separated ints
+    var i = 2
+    val nums = new Array[Int](3)
+    var n = 0
+    while (n < 3 && i < bytes.length) {
+      while (i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t' || bytes(i) == '\r')) i += 1
+      var v = 0
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+      }
+      if (!any) return None
+      nums(n) = v; n += 1
+    }
+    if (n < 3 || i >= bytes.length) return None
+    i += 1 // single whitespace after maxval
+    val w = nums(0); val h = nums(1)
+    if (nums(2) != 255 || bytes.length - i < w * h * 3) return None
+    Some(Decoded(java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3), w, h))
+  }
+
+  /** PSNR in dB between two equal-length pixel arrays (identical → ∞). */
+  def psnr(a: Array[Byte], b: Array[Byte]): Double = {
+    require(a.length == b.length)
+    var se = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      se += d.toDouble * d
+      i += 1
+    }
+    if (se == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 / (se / a.length))
+  }
+
+  /** Average-hash perceptual fingerprint: grayscale → 8×8 box-downsample →
+    * threshold at the mean → 64 bits. Deterministic, pure. */
+  def phash64(rgb: Array[Byte], w: Int, h: Int): Long = {
+    val gw = 8; val gh = 8
+    val sums = new Array[Double](gw * gh)
+    val counts = new Array[Int](gw * gh)
+    var y = 0
+    while (y < h) {
+      val gy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val gx = x * gw / w
+        val p = (y * w + x) * 3
+        val gray = 0.299 * (rgb(p) & 0xff) + 0.587 * (rgb(p + 1) & 0xff) +
+          0.114 * (rgb(p + 2) & 0xff)
+        sums(gy * gw + gx) += gray
+        counts(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { sums(i) = if (counts(i) > 0) sums(i) / counts(i) else 0.0; mean += sums(i); i += 1 }
+    mean /= 64.0
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (sums(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Coarse normalization for sketching: channel bytes quantized to step 16
+    * (top nibble). Robust to simulated-lossy re-encodes (step-4
+    * quantization) and small pixel noise; the image analog of the DNA
+    * canonicalization step (SURVEY.md §2.2 K4). */
+  def normalizeForSketch(rgb: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](rgb.length)
+    var i = 0
+    while (i < rgb.length) { out(i) = (rgb(i) & 0xf0).toByte; i += 1 }
+    out
+  }
+}

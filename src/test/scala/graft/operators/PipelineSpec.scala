@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{ImageCodec, SyntheticCorpus}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("synthetic corpus is deterministic and partitioning-independent") {
+    val a = SyntheticCorpus.corpus(spark, 200, partitions = 2).collect().sortBy(_.image_id)
+    val b = SyntheticCorpus.corpus(spark, 200, partitions = 7).collect().sortBy(_.image_id)
+    assert(a.length === 200)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.image_id === y.image_id)
+      assert(x.caption === y.caption)
+      assert(x.phash === y.phash)
+      assert(java.util.Arrays.equals(x.bytes, y.bytes))
+    }
+  }
+
+  test("per-row decode invariant: lossless allclose, lossy PSNR >= 40 dB (BASELINE.json:15)") {
+    val rows = SyntheticCorpus.corpus(spark, 400).collect()
+    val base = SyntheticCorpus.nBase(400)
+    var checkedLossy = 0
+    rows.foreach { r =>
+      val dec = ImageCodec.decode(r.bytes, r.fmt).get
+      assert(dec.w === r.w && dec.h === r.h)
+      val id = r.image_id.stripPrefix("img_").toLong
+      if (r.fmt == "ppm") {
+        // lossless: decoded pixels are exactly what the generator produced
+        // (for dup rows, what the perturbation produced — checked via round-trip)
+        val reenc = ImageCodec.encodePpm(dec.rgb, dec.w, dec.h)
+        assert(java.util.Arrays.equals(reenc, r.bytes))
+      } else {
+        // simulated-lossy: decoded pixels vs the SOURCE row's pixels
+        val (src, kind) = SyntheticCorpus.dupPlan(id, base)
+        assert(kind === "reencode")
+        val orig = SyntheticCorpus.genPixels(src)
+        val p = ImageCodec.psnr(dec.rgb, orig)
+        assert(p >= 40.0, s"PSNR $p < 40 for ${r.image_id}")
+        checkedLossy += 1
+      }
+    }
+    assert(checkedLossy > 0, "corpus must contain lossy rows")
+  }
+
+  test("exact dup rows have byte-equal payload and caption equality") {
+    val n = 400L
+    val base = SyntheticCorpus.nBase(n)
+    val rows = SyntheticCorpus.corpus(spark, n).collect().map(r => r.image_id -> r).toMap
+    val gt = SyntheticCorpus.groundTruth(spark, n).collect()
+    assert(gt.nonEmpty)
+    gt.filter(_.kind == "exact").foreach { d =>
+      val dup = rows(d.dup_id); val src = rows(d.src_id)
+      assert(java.util.Arrays.equals(dup.bytes, src.bytes))
+      assert(dup.caption === src.caption)
+    }
+    gt.filter(_.kind == "reencode").foreach { d =>
+      assert(rows(d.dup_id).caption === rows(d.src_id).caption)
+    }
+  }
+
+  test("connected components: known graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 4L), (20L, 1L)).toDF("src", "dst")
+    val nodes = (1L to 4L).union(Seq(10L, 11L, 20L, 99L)).toDF("id")
+    val labels = ConnectedComponents.labelAll(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L &&
+      labels(4L) === 1L && labels(20L) === 1L)
+    assert(labels(10L) === 10L && labels(11L) === 10L)
+    assert(labels(99L) === 99L) // singleton
+  }
+
+  test("connected components: adversarial chain converges (log-round guarantee)") {
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = ConnectedComponents.run(chain, maxIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet === Set(0L))
+    assert(labels.size === 201)
+  }
+
+  test("end-to-end dedup: recall >= 0.99 vs ground truth at n=2000") {
+    val n = 2000L
+    val corpus = SyntheticCorpus.corpus(spark, n).toDF()
+    val clusters = DedupPipeline.clusters(corpus).cache()
+    val assign = clusters.select($"image_id", $"cluster")
+    val gt = SyntheticCorpus.groundTruth(spark, n).toDF()
+
+    val joined = gt
+      .join(assign.withColumnRenamed("image_id", "dup_id").withColumnRenamed("cluster", "c_dup"), "dup_id")
+      .join(assign.withColumnRenamed("image_id", "src_id").withColumnRenamed("cluster", "c_src"), "src_id")
+    val perKind = joined.groupBy($"kind")
+      .agg(count(lit(1)).as("n"), sum(when($"c_dup" === $"c_src", 1).otherwise(0)).as("hit"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = perKind.map(_._2).sum
+    val hits = perKind.map(_._3).sum
+    val recall = hits.toDouble / total
+    info(s"recall = $recall over $total dup pairs; per kind: " +
+      perKind.map { case (k, n0, h) => s"$k $h/$n0" }.mkString(", "))
+    assert(recall >= 0.99, s"recall $recall < 0.99; per kind: " +
+      perKind.map { case (k, n0, h) => s"$k $h/$n0" }.mkString(", "))
+
+    // sanity: dedup actually collapses ~5% of rows
+    val nClusters = clusters.select($"cluster").distinct().count()
+    assert(nClusters < n && nClusters > n / 2)
+  }
+}
