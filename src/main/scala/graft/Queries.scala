@@ -1,33 +1,473 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /**
  * The registered operator surface: every entry is one operator family from
- * SURVEY.md §2 (or a training-data-pipeline extension), exercised as a
- * query over the driver's parquet tables at `sfDir`, with a DuckDB oracle
- * where the semantics are SQL-expressible.
+ * SURVEY.md §2 (or a training-data-pipeline extension, per the build
+ * brief), exercised as a query over the driver's parquet tables at
+ * `sfDir`, with a DuckDB oracle where the semantics are SQL-expressible.
+ *
+ * Naming: `qNN` relational core (Catalyst built-ins: scan/filter/agg/join/
+ * window/top-k/set ops), `dNN` deduplication family, `tNN` text analysis,
+ * `eNN` embedding similarity, `mNN` multimodal corpus, `stNN` streaming,
+ * `smNN` sourmash signature compatibility.
  *
  * Column names are aliased identically in the Spark plan and the oracle
- * SQL (the driver's compare sorts columns by name before hashing).
+ * SQL (the driver's compare sorts columns by name before hashing values).
+ * Aggregates of doubles whose value depends on summation order are
+ * avoided in oracle'd queries (counts, min/max, and sums of integral
+ * doubles only) — fp-order-sensitive scores are `round`ed to 6 digits.
  */
 object Queries {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Corpus size for multimodal queries, scaled off the sf dir name. */
+  def corpusRows(dir: String): Long =
+    if (dir.contains("sf0.1")) 20000L
+    else if (dir.contains("sf0.01")) 5000L
+    else 1000L
+
+  // ================================================================ q: relational core
+
+  private val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2-style scan: projection + predicate, pushed to parquet
     "q01_filter_project" -> { (s, d) =>
       t(s, d, "lineitem")
         .where(col("l_returnflag") === "R" && col("l_quantity") > 30.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-    }
-  )
+    },
+    // partial-aggregation groupBy (map-side combine)
+    "q02_agg_group" -> { (s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+    // broadcast-able dimension join + agg
+    "q03_join_agg" -> { (s, d) =>
+      t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    },
+    // multi-way star join (region ⋈ nation ⋈ customer ⋈ orders)
+    "q04_star_join" -> { (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), countDistinct(col("c_custkey")).as("n_custs"))
+    },
+    // window function: top-2 orders per customer (deterministic tie-break)
+    "q05_window_topk" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    },
+    // global top-N (TakeOrderedAndProject)
+    "q06_global_topn" -> { (s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+    // semi + anti joins (EXISTS / NOT EXISTS)
+    "q07_semi_anti_join" -> { (s, d) =>
+      val bigOrders = t(s, d, "orders").where(col("o_totalprice") > 400000.0)
+      val c = t(s, d, "customer")
+      val withBig = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), lit("has_big").as("bucket"))
+      val withoutBig = c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), lit("no_big").as("bucket"))
+      withBig.union(withoutBig)
+    },
+    // set operation: distinct union
+    "q08_union_distinct" -> { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    },
+    // time-bucketed aggregation over the events stream table
+    "q09_events_hourly" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    })
 
-  val oracles: Map[String, String] = Map(
+  private val relationalOracles: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
-        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30.0""".stripMargin
-  )
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30.0""".stripMargin,
+    "q02_agg_group" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty, min(l_shipdate) AS min_ship,
+        |  max(l_shipdate) AS max_ship, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_star_join" ->
+      """SELECT r_name, count(*) AS n_orders, count(DISTINCT c_custkey) AS n_custs
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q05_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2""".stripMargin,
+    "q06_global_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q07_semi_anti_join" ->
+      """SELECT c_custkey, c_name, 'has_big' AS bucket FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'no_big' AS bucket FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)""".stripMargin,
+    "q08_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q09_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin)
+
+  // ================================================================ d: dedup family
+
+  private val dedup: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: content-hash groupBy (the exact-dup pre-aggregation stage)
+    "d01_exact_dedup" -> { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(encode(col("text"), "UTF-8")).as("text_md5"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+    },
+    // exact n-gram Jaccard within source blocks (blocked pairwise dedup)
+    "d02_ngram_jaccard" -> { (s, d) =>
+      val docs = t(s, d, "documents").where(length(col("text")) >= 3)
+      val grams = docs.select(col("doc_id"), col("source"),
+          explode(expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")).as("gram"))
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val g1 = grams.select(col("doc_id").as("a"), col("source"), col("gram"))
+      val g2 = grams.select(col("doc_id").as("b"), col("source"), col("gram"))
+      val common = g1.join(g2, Seq("source", "gram"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .withColumn("jac", round(col("c") * lit(1.0) / (col("na") + col("nb") - col("c")), 6))
+        .where(col("jac") >= 0.8)
+        .select(col("a"), col("b"), col("jac"))
+    })
+
+  private val dedupOracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d02_ngram_jaccard" ->
+      """WITH pos AS (
+        |  SELECT doc_id, source, text, unnest(range(1, length(text)-1)) AS i
+        |  FROM documents WHERE length(text) >= 3
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, source, substr(text, i::INT, 3) AS gram FROM pos
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
+        |), common AS (
+        |  SELECT g1.doc_id a, g2.doc_id b, count(*) c
+        |  FROM grams g1 JOIN grams g2
+        |    ON g1.gram = g2.gram AND g1.source = g2.source AND g1.doc_id < g2.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, round(c*1.0/(sa.n+sb.n-c), 6) AS jac FROM common
+        |JOIN sizes sa ON sa.doc_id = common.a
+        |JOIN sizes sb ON sb.doc_id = common.b
+        |WHERE round(c*1.0/(sa.n+sb.n-c), 6) >= 0.8""".stripMargin)
+
+  // ================================================================ t: text analysis
+
+  private def toks(c: Column): Column = filter(split(c, " "), x => x =!= "")
+
+  private val text: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace tokenizer)
+    "t01_token_count" -> { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(toks(col("text"))).as("n_tokens"),
+        length(col("text")).as("n_chars_m"))
+    },
+    // quality scoring: structural ratios, 6-digit stable rounding
+    "t02_quality_score" -> { (s, d) =>
+      val df = t(s, d, "documents")
+        .withColumn("n_tokens", size(toks(col("text"))))
+        .withColumn("n_chars_m", length(col("text")))
+        .withColumn("n_stop", size(filter(toks(col("text")),
+          x => x === "the" || x === "a")))
+      df.select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        round(col("n_stop") * lit(1.0) / col("n_tokens"), 6).as("stop_ratio"),
+        round(col("n_chars_m") * lit(1.0) / col("n_tokens"), 6).as("avg_tok_len"))
+    },
+    // language id: deterministic marker-token argmax (n-gram heuristic family)
+    "t03_lang_id" -> { (s, d) =>
+      val tk = toks(col("text"))
+      def cnt(ws: Seq[String]) =
+        size(filter(tk, x => ws.map(w => x === w).reduce(_ || _)))
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+          cnt(Seq("the", "a", "and", "of")).as("s_en"),
+          cnt(Seq("der", "die", "das", "und")).as("s_de"),
+          cnt(Seq("le", "la", "et", "les")).as("s_fr"),
+          cnt(Seq("el", "los", "y", "las")).as("s_es"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+            .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+              col("s_de") > 0, "de")
+            .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+            .when(col("s_es") > 0, "es")
+            .otherwise("unknown"))
+    })
+
+  private val textOracles: Map[String, String] = Map(
+    "t01_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+        |  length(text) AS n_chars_m
+        |FROM documents""".stripMargin,
+    "t02_quality_score" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+        |    length(text) AS n_chars_m,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_stop,
+        |  round(n_stop*1.0/n_tokens, 6) AS stop_ratio,
+        |  round(n_chars_m*1.0/n_tokens, 6) AS avg_tok_len
+        |FROM b""".stripMargin,
+    "t03_lang_id" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','and','of'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','las'))) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+        |  CASE
+        |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |    WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |    WHEN s_es > 0 THEN 'es'
+        |    ELSE 'unknown' END AS predicted
+        |FROM b""".stripMargin)
+
+  // ================================================================ d: sketch dedup on documents (rows-only: sketch internals not SQL-expressible)
+
+  import graft.core.{MinHash, SketchConfig, Shingles}
+  import graft.functions.GraftFunctions
+  import graft.operators.{ConnectedComponents, Lsh, Similarity}
+
+  private val docSketch = SketchConfig(num = 128, ksize = 4)
+
+  private def docMinhashed(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      GraftFunctions.captionMinhash(col("text"), docSketch).as("mins"),
+      GraftFunctions.captionSimhash(col("text"), docSketch.ksize).as("simhash"))
+
+  private def docCandidates(s: SparkSession, d: String): DataFrame = {
+    val sk = docMinhashed(s, d)
+    val banded = Lsh.explodeBands(
+      sk.select(col("doc_id").cast("string").as("id"),
+        GraftFunctions.minhashBands(col("mins"), bands = 16, rowsPerBand = 8).as("bk")),
+      "id", "bk", sourceTag = 11)
+    Lsh.candidatePairs(banded, maxBucket = 64)
+      .select(least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
+  }
+
+  private val docDedup: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash + LSH banding: candidate pair generation (bucket equi-grouping)
+    "d03_minhash_lsh_pairs" -> { (s, d) => docCandidates(s, d) },
+    // candidate confirm with reference-semantics Jaccard estimate
+    "d04_minhash_jaccard_dedup" -> { (s, d) =>
+      val sk = docMinhashed(s, d)
+      docCandidates(s, d)
+        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
+        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
+        .withColumn("jac_est", round(GraftFunctions.jaccard(col("mins_a"), col("mins_b"), docSketch), 6))
+        .where(col("jac_est") >= 0.5)
+        .select(col("a"), col("b"), col("jac_est"))
+    },
+    // SimHash near-dup pairs: pigeonhole banding + Hamming confirm
+    "d05_simhash_dedup" -> { (s, d) =>
+      val sk = docMinhashed(s, d)
+      val banded = Lsh.explodeBands(
+        sk.select(col("doc_id").cast("string").as("id"),
+          GraftFunctions.fingerprintBands(col("simhash"), 8).as("bk")),
+        "id", "bk", sourceTag = 12)
+      Lsh.candidatePairs(banded, maxBucket = 64)
+        .select(least(col("a").cast("long"), col("b").cast("long")).as("a"),
+          greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
+        .join(sk.select(col("doc_id").as("a"), col("simhash").as("sh_a")), "a")
+        .join(sk.select(col("doc_id").as("b"), col("simhash").as("sh_b")), "b")
+        .withColumn("hamming", GraftFunctions.hamming64(col("sh_a"), col("sh_b")))
+        .where(col("hamming") <= 7)
+        .select(col("a"), col("b"), col("hamming"))
+    },
+    // near-dup clusters: confirmed edges → connected components
+    "d06_doc_clusters" -> { (s, d) =>
+      val sk = docMinhashed(s, d)
+      val edges = docCandidates(s, d)
+        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
+        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
+        .where(GraftFunctions.jaccard(col("mins_a"), col("mins_b"), docSketch) >= 0.5)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = t(s, d, "documents").select(col("doc_id").as("id"))
+      ConnectedComponents.labelAll(nodes, edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+    })
+
+  // ================================================================ t04: winnowing fingerprints
+
+  private val fingerprints: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t04_winnow_fingerprint" -> { (s, d) =>
+      val fp = udf((text: String) => {
+        val hs = Shingles.charShingleHashes(text, 5, 42L)
+        Shingles.winnow(hs, 8)
+      })
+      t(s, d, "documents")
+        .withColumn("fps", fp(col("text")))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          // unsigned-decimal rendering of the first fingerprint
+          udf((a: Seq[Long]) => if (a.isEmpty) "" else java.lang.Long.toUnsignedString(a.head))
+            .apply(col("fps")).as("first_fp"))
+    })
+
+  // ================================================================ e: embedding similarity
+
+  private val embeddings: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-k (exactness baseline)
+    "e01_knn_bruteforce" -> { (s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+    },
+    // embedding near-dup pairs, brute force
+    "e02_embedding_pairs" -> { (s, d) =>
+      Similarity.bruteForcePairs(t(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.45)
+    },
+    // the scale path: random-hyperplane LSH buckets + exact confirm
+    "e03_embedding_lsh_pairs" -> { (s, d) =>
+      Similarity.lshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        minCos = 0.45, dim = 64, nPlanes = 6, nTables = 8, maxBucket = 512)
+    })
+
+  private val embeddingOracles: Map[String, String] = Map(
+    "e01_knn_bruteforce" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+        |    round(list_dot_product(a.e, b.e) /
+        |      sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS cos
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT vec_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rk
+        |  FROM pairs)
+        |SELECT vec_id, neighbor, cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
+    "e02_embedding_pairs" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_dot_product(a.e, b.e) /
+        |    sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e) /
+        |  sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) >= 0.45""".stripMargin)
+
+  // ================================================================ m: multimodal corpus
+
+  import graft.operators.DedupPipeline
+  import graft.sources.{ImageCodec, SyntheticCorpus}
+
+  private val multimodal: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the flagship pipeline as a registered operator (north_rule)
+    "m01_corpus_dedup_clusters" -> { (s, d) =>
+      DedupPipeline.clusters(SyntheticCorpus.corpus(s, corpusRows(d)).toDF())
+    },
+    // binary-column decode + feature extraction (multimodal plumbing;
+    // decode for non-PPM formats is the clearly-marked stub fallback)
+    "m02_image_decode_stats" -> { (s, d) =>
+      val stats = udf((bytes: Array[Byte], fmt: String) =>
+        ImageCodec.decode(bytes, fmt) match {
+          case Some(dec) =>
+            var sum = 0L
+            var i = 0
+            while (i < dec.rgb.length) { sum += (dec.rgb(i) & 0xff); i += 1 }
+            (dec.w, dec.h, sum / dec.rgb.length)
+          case None => (-1, -1, -1L) // stub path: undecodable format
+        })
+      SyntheticCorpus.corpus(s, corpusRows(d)).toDF()
+        .withColumn("st", stats(col("bytes"), col("fmt")))
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n"),
+          min(col("st._3")).as("min_mean_px"),
+          max(col("st._3")).as("max_mean_px"),
+          countDistinct(col("phash")).as("n_phash"))
+    })
+
+  // ================================================================ st: structured streaming
+
+  private val streaming: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the q09 aggregation re-expressed as a Structured Streaming query
+    // (readStream → watermark+window → memory sink), batch-equivalent
+    "st01_stream_hourly" -> { (s, d) =>
+      val schema = t(s, d, "events").schema
+      val name = s"st01_out_${System.nanoTime()}"
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+          col("event_type"), col("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(name)
+    })
+
+  private val streamingOracles: Map[String, String] = Map(
+    "st01_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin)
+
+  // ================================================================ assembled
+
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    relational ++ dedup ++ text ++ docDedup ++ fingerprints ++ embeddings ++
+      multimodal ++ streaming
+
+  val oracles: Map[String, String] =
+    relationalOracles ++ dedupOracles ++ textOracles ++ embeddingOracles ++
+      streamingOracles
 }

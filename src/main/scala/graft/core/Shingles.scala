@@ -243,6 +243,34 @@ object Shingles {
   }
 
   /**
+   * Winnowing fingerprint selection (Schleimer et al., MOSS): slide a
+   * window of `w` consecutive k-gram hashes, keep the minimum of each
+   * window (rightmost minimum on ties), deduplicate consecutive picks.
+   * Guarantees a shared fingerprint for any match of length ≥ w + k − 1.
+   * Unsigned comparison, consistent with the engine's u64 universe.
+   */
+  def winnow(hashes: Array[Long], w: Int): Array[Long] = {
+    if (hashes.isEmpty) return Array.emptyLongArray
+    if (hashes.length <= w) {
+      var m = hashes(0)
+      var i = 1
+      while (i < hashes.length) { if (U64.le(hashes(i), m)) m = hashes(i); i += 1 }
+      return Array(m)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var lastPick = -1
+    var start = 0
+    while (start + w <= hashes.length) {
+      var minIdx = start
+      var i = start + 1
+      while (i < start + w) { if (U64.le(hashes(i), hashes(minIdx))) minIdx = i; i += 1 }
+      if (minIdx != lastPick) { out += hashes(minIdx); lastPick = minIdx }
+      start += 1
+    }
+    out.toArray
+  }
+
+  /**
    * SimHash64 over token hashes: per-bit majority vote (+1 if bit set, -1
    * if clear), bit set in the fingerprint when the vote is positive.
    * Standard Charikar construction; near-dup ⟺ small Hamming distance.

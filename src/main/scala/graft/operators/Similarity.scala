@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Murmur3
+
+/**
+ * Similarity search over an embedding column (`ARRAY<FLOAT>`).
+ *
+ * Two paths, per the build brief:
+ *  - brute-force cosine top-k — the exactness baseline (quadratic; fine at
+ *    validation scale, and the correct confirm kernel at any scale);
+ *  - random-hyperplane LSH (sign-bit SimHash over fixed pseudo-random
+ *    hyperplanes) — the scale path: bucket equi-grouping replaces the
+ *    crossJoin, exactly as MinHash banding replaces the reference's
+ *    linear scan (`/root/reference/src/index/linear.rs:25-45`).
+ *
+ * All cosine math is done in double after an explicit element cast, and
+ * scores are rounded to 6 digits so results are stable across engines and
+ * summation orders.
+ */
+object Similarity {
+
+  /** Cosine similarity column between two ARRAY<DOUBLE> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
+    round(dot / sqrt(na * nb), 6)
+  }
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** All pairs (id < id) with cosine ≥ minCos — brute force. */
+  def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a"), asDouble(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).as("b"), asDouble(col(vecCol)).as("vb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= minCos)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
+  /** Top-k neighbors per id — brute force baseline. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).as("neighbor"), asDouble(col(vecCol)).as("vb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    a.crossJoin(b).where(col("vec_id") =!= col("neighbor"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("vec_id"), col("neighbor"), col("cos"), col("rk"))
+  }
+
+  /**
+   * Sign-bit bucket key from `nPlanes` fixed pseudo-random hyperplanes
+   * (components derived from murmur3(plane, dim) — deterministic, no
+   * broadcast needed). Emits `nTables` independent keys (rotated plane
+   * sets) to trade buckets for recall.
+   */
+  def hyperplaneKeys(vec: Column, dim: Int, nPlanes: Int, nTables: Int, seed: Long = 42L): Column = {
+    // plane components precomputed once (driver) and closed over — a tiny
+    // deterministic broadcast; ±1 components from murmur low bits
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(nTables, nPlanes, dim) { (t, p, i) =>
+        if ((Murmur3.hash64(s"$t:$p:$i", seed) & 1L) == 0L) 1.0 else -1.0
+      }
+    val f = udf((v: Seq[Float]) => {
+      if (v == null) Array.emptyLongArray
+      else {
+        val out = new Array[Long](nTables)
+        var t = 0
+        while (t < nTables) {
+          var key = 0L
+          var p = 0
+          while (p < nPlanes) {
+            val comp = planes(t)(p)
+            var dot = 0.0
+            var i = 0
+            val n = math.min(v.length, comp.length)
+            while (i < n) { dot += comp(i) * v(i); i += 1 }
+            if (dot > 0) key |= (1L << p)
+            p += 1
+          }
+          out(t) = key * nTables + t // tag table index into the key
+          t += 1
+        }
+        out
+      }
+    })
+    f(vec)
+  }
+
+  /** LSH-bucketed near-dup pairs: bucket equi-grouping + exact cosine
+    * confirm (the 100-TB path; crossJoin never happens). */
+  def lshPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double,
+      dim: Int, nPlanes: Int = 12, nTables: Int = 4, maxBucket: Int = 256): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"),
+      explode(hyperplaneKeys(col(vecCol), dim, nPlanes, nTables)).as("bandKey"))
+    val cands = Lsh.candidatePairs(keyed.select(col("id").cast("string").as("id"), col("bandKey")), maxBucket)
+    val va = df.select(col(idCol).cast("string").as("a"), asDouble(col(vecCol)).as("va"))
+    val vb = df.select(col(idCol).cast("string").as("b"), asDouble(col(vecCol)).as("vb"))
+    cands.join(va, "a").join(vb, "b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= minCos)
+      .select(least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"), col("cos"))
+  }
+}

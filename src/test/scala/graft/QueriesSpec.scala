@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SparkTestSession
+
+/** Operator-surface checks beyond the driver's DuckDB gate (which covers
+  * the oracle'd queries): structural assertions for rows-only operators. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every registered query runs and every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // cheap structural run (no action) to catch analysis errors early
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, name)
+    }
+  }
+
+  test("d04 confirmed minhash pairs are ordered and above threshold") {
+    val rows = SparkEntry.queries("d04_minhash_jaccard_dedup")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("e03 LSH pairs are a subset of e02 brute-force pairs (same threshold)") {
+    val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("e03_embedding_lsh_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), s"LSH produced non-brute pairs: ${lsh -- brute}")
+    info(s"e03 recall vs brute force: ${lsh.size}/${brute.size}")
+  }
+
+  test("d06 clusters: every confirmed d04 pair lands in one cluster") {
+    val assign = SparkEntry.queries("d06_doc_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("d04_minhash_jaccard_dedup")(spark, sf).collect()
+    pairs.foreach { r =>
+      assert(assign(r.getLong(0)) === assign(r.getLong(1)))
+    }
+  }
+
+  test("t04 winnowing emits at least one fingerprint per non-trivial doc") {
+    val rows = SparkEntry.queries("t04_winnow_fingerprint")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(r.getInt(1) > 0, s"doc ${r.getLong(0)}") }
+  }
+
+  test("st01 streaming result equals q09 batch counts") {
+    // q09 emits TIMESTAMP (LTZ), st01 TIMESTAMP_NTZ — compare formatted
+    def fmt(c: org.apache.spark.sql.Column) = date_format(c, "yyyy-MM-dd HH:mm")
+    val batch = SparkEntry.queries("q09_events_hourly")(spark, sf)
+      .select(fmt(col("hour_start")), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val stream = SparkEntry.queries("st01_stream_hourly")(spark, sf)
+      .select(fmt(col("hour_start")), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(stream === batch)
+  }
+}

@@ -207,6 +207,32 @@ class KernelSpec extends AnyFunSuite {
     assert(strided.length === 24)
   }
 
+  test("winnowing: picks are real hashes, cover every window, dedupe consecutive") {
+    trials(30) { r =>
+      val hs = Array.fill(5 + r.nextInt(60))(r.nextLong())
+      val w = 2 + r.nextInt(6)
+      val picks = Shingles.winnow(hs, w)
+      assert(picks.nonEmpty)
+      assert(picks.toSet.subsetOf(hs.toSet))
+      // guarantee: every window of w consecutive hashes contains >= 1 pick
+      if (hs.length >= w) {
+        val pickSet = picks.toSet
+        (0 to hs.length - w).foreach { s0 =>
+          assert(hs.slice(s0, s0 + w).exists(pickSet.contains),
+            s"window at $s0 uncovered")
+        }
+      }
+    }
+  }
+
+  test("winnowing is substring-stable: shared fingerprints for shared content") {
+    val a = Shingles.charShingleHashes("the quick brown fox jumps over the lazy dog near a river", 5, 42L)
+    val b = Shingles.charShingleHashes("PREFIX the quick brown fox jumps over the lazy dog SUFFIX", 5, 42L)
+    val fa = Shingles.winnow(a, 4).toSet
+    val fb = Shingles.winnow(b, 4).toSet
+    assert((fa & fb).nonEmpty)
+  }
+
   test("normalizeText collapses whitespace and lowercases") {
     assert(Shingles.normalizeText("  Hello\t WORLD\n ") === "hello world")
     assert(Shingles.tokenize("a  b\tc").toList === List("a", "b", "c"))
