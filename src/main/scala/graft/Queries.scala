@@ -461,11 +461,73 @@ object Queries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin)
 
+  // ================================================================ sm: sourmash signature compatibility (reference fixtures)
+
+  import graft.operators.SignatureSearch
+  import graft.sources.SignatureJson
+
+  /** Reference fixture root (read-only); queries degrade to empty results
+    * when absent so the surface stays runnable anywhere. */
+  private val refData = "/root/reference/tests/data"
+  private def refExists: Boolean = new java.io.File(refData).isDirectory
+
+  private val sourmash: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S2: signature JSON scan + flatten + md5 recompute check
+    "sm01_signature_load" -> { (s, _) =>
+      if (!refExists) s.emptyDataFrame.select()
+      else SignatureJson.read(s, s"$refData/genome-s10+s11.sig")
+        .withColumn("md5_recomputed",
+          SignatureJson.computeMd5sum(col("ksize"), col("mins")))
+        .select(col("name"), col("ksize"), col("is_protein"), col("num"),
+          col("md5sum"), col("md5_recomputed"),
+          (col("md5sum") === col("md5_recomputed")).as("md5_ok"),
+          size(col("mins")).as("n_mins"))
+    },
+    // Q1/Q2/Q3: linear search with the v5 fixture's golden thresholds
+    "sm02_linear_search" -> { (s, _) =>
+      if (!refExists) s.emptyDataFrame.select()
+      else {
+        val db = SignatureJson.read(s, s"$refData/.sbt.v5/*")
+          .where(col("md5sum") =!= lit("")) // leaf sigs only
+        val cfg = graft.core.SketchConfig(num = 500, ksize = 31)
+        val query = db.where(col("filename") === "SRR2060939_1.fastq.gz")
+          .select(col("mins")).head().getSeq[Long](0).toArray
+        val combos = Seq(("similarity", 0.5), ("similarity", 0.1),
+          ("containment", 0.5), ("containment", 0.1))
+        combos.map { case (mode, thr) =>
+          SignatureSearch.linear(db, query, cfg, thr, mode)
+            .agg(count(lit(1)).as("n_matches"))
+            .select(lit(mode).as("mode"), lit(thr).as("threshold"), col("n_matches"))
+        }.reduce(_ union _)
+      }
+    },
+    // S6: serialize → reparse round-trip (writer correctness as a query)
+    "sm03_signature_roundtrip" -> { (s, _) =>
+      if (!refExists) s.emptyDataFrame.select()
+      else {
+        import s.implicits._
+        val orig = SignatureJson.read(s, s"$refData/genome-s10+s11.sig")
+        val json = SignatureJson.toJson(orig).select(col("json")).as[String].head()
+        val tmp = java.nio.file.Files.createTempDirectory("sig_rt")
+        val f = tmp.resolve("rt.sig")
+        java.nio.file.Files.writeString(f, json)
+        val reread = SignatureJson.read(s, f.toString)
+        orig.select(col("name"), col("ksize"), col("is_protein"),
+            col("md5sum"), col("mins")).as("o")
+          .join(reread.select(col("name"), col("ksize"), col("is_protein"),
+            col("md5sum").as("md5_rt"), col("mins").as("mins_rt")).as("r"),
+            Seq("name", "ksize", "is_protein"))
+          .select(col("name"), col("ksize"), col("is_protein"),
+            (col("md5sum") === col("md5_rt")).as("md5_ok"),
+            (col("mins") === col("mins_rt")).as("mins_ok"))
+      }
+    })
+
   // ================================================================ assembled
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ dedup ++ text ++ docDedup ++ fingerprints ++ embeddings ++
-      multimodal ++ streaming
+      multimodal ++ streaming ++ sourmash
 
   val oracles: Map[String, String] =
     relationalOracles ++ dedupOracles ++ textOracles ++ embeddingOracles ++

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{MinHash, SketchConfig}
+
+/**
+ * Linear-index search — the Spark re-expression of `LinearIndex::find`
+ * (`/root/reference/src/index/linear.rs:25-45`): the query sketch is
+ * broadcast (closure-captured: a few KB) and every DB row is scored with
+ * the reference predicates, a narrow filter over the sketch table:
+ *
+ *  - similarity (`search_minhashes`, `/root/reference/src/index/search.rs:3-5`):
+ *    `node.similarity(query) > threshold` — strict `>`, combined-denominator
+ *    Jaccard (`compare`, `/root/reference/src/lib.rs:501-508`);
+ *  - containment (`search_minhashes_containment`, `search.rs:7-9`):
+ *    `count_common(node, query) / |node.mins| > threshold` — the NODE's
+ *    size in the denominator (`/root/reference/src/index.rs:146-160`).
+ *
+ * The SBT variant (Q4) needs no tree here: at corpus scale the pruning
+ * role is played by LSH banding (SURVEY.md §2.4); for explicit searches a
+ * broadcast filter is already a single narrow pass.
+ */
+object SignatureSearch {
+
+  def linear(db: DataFrame, queryMins: Array[Long], cfg: SketchConfig,
+      threshold: Double, mode: String): DataFrame = {
+    val localCfg = cfg
+    val q = queryMins
+    val score = mode match {
+      case "similarity" =>
+        udf((mins: Seq[Long]) => MinHash.compare(mins.toArray, q, localCfg))
+      case "containment" =>
+        udf((mins: Seq[Long]) =>
+          if (mins.isEmpty) 0.0
+          else MinHash.countCommon(mins.toArray, q).toDouble / mins.length)
+      case other => throw new IllegalArgumentException(s"unknown mode $other")
+    }
+    db.withColumn("score", score(col("mins")))
+      .where(col("score") > threshold) // strict >, per the reference
+  }
+}

@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.U64
+
+/**
+ * Signature JSON compatibility layer — re-expresses the reference's
+ * signature source/sink (S1/S2/S6 in SURVEY.md §2.1):
+ *
+ *  - S1 scan (`Signature::from_path`, `/root/reference/src/lib.rs:580-591`):
+ *    a JSON array of signature records → one DataFrame row per
+ *    (signature, sketch), i.e. the flatten of
+ *    `load_signatures` (`/root/reference/src/lib.rs:604-613`) =
+ *    `explode(signatures)`.
+ *  - S2 filter (`/root/reference/src/lib.rs:615-642`): ksize (0 = wildcard)
+ *    + moltype predicate.
+ *  - S6 sink (`impl Serialize`, `/root/reference/src/lib.rs:62-101`):
+ *    serde field order, `molecule` ∈ {"DNA","protein"}, and
+ *    `md5sum` = md5(ksize as decimal string ++ each min as unsigned
+ *    decimal string, no separators, `/root/reference/src/lib.rs:72-77`).
+ *
+ * Deserialize rule honored: `num` forced to 0 when `max_hash != 0`
+ * (`/root/reference/src/lib.rs:123`). `mins` values are u64: parsed
+ * through DECIMAL(20,0) and wrapped into signed longs bit-faithfully.
+ */
+object SignatureJson {
+
+  private val sketchSchema = StructType(Seq(
+    StructField("num", LongType),
+    StructField("ksize", LongType),
+    StructField("seed", LongType),
+    StructField("max_hash", DecimalType(20, 0)),
+    StructField("md5sum", StringType),
+    StructField("mins", ArrayType(DecimalType(20, 0))),
+    StructField("abundances", ArrayType(DecimalType(20, 0))),
+    StructField("molecule", StringType)))
+
+  private val sigSchema = StructType(Seq(
+    StructField("class", StringType),
+    StructField("email", StringType),
+    StructField("hash_function", StringType),
+    StructField("filename", StringType),
+    StructField("name", StringType),
+    StructField("license", StringType),
+    StructField("version", DoubleType),
+    StructField("signatures", ArrayType(sketchSchema))))
+
+  /** DECIMAL(20,0) u64 → bit-faithful signed long. */
+  private val decToU64 = udf((d: java.math.BigDecimal) =>
+    if (d == null) null else java.lang.Long.valueOf(d.toBigInteger.longValue()))
+
+  private val decArrToU64 = udf((a: Seq[java.math.BigDecimal]) =>
+    if (a == null) null else a.map(_.toBigInteger.longValue()).toArray)
+
+  /** S1+S2 flatten: one row per sketch with signature metadata. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.schema(sigSchema).option("multiLine", true).json(path)
+    raw.select(
+        coalesce(col("class"), lit("sourmash_signature")).as("class"),
+        coalesce(col("email"), lit("")).as("email"),
+        col("hash_function"), col("filename"), col("name"),
+        coalesce(col("license"), lit("CC0")).as("license"),
+        coalesce(col("version"), lit(0.4)).as("version"),
+        posexplode(col("signatures")).as(Seq("sketch_idx", "mh")))
+      .select(
+        col("class"), col("email"), col("hash_function"), col("filename"),
+        col("name"), col("license"), col("version"), col("sketch_idx"),
+        // reference rule: scaled mode wins over bottom-k (lib.rs:123)
+        when(decToU64(col("mh.max_hash")) =!= 0L, lit(0L))
+          .otherwise(col("mh.num")).cast("int").as("num"),
+        col("mh.ksize").cast("int").as("ksize"),
+        col("mh.seed").as("seed"),
+        decToU64(col("mh.max_hash")).as("max_hash"),
+        col("mh.md5sum").as("md5sum"),
+        decArrToU64(col("mh.mins")).as("mins"),
+        decArrToU64(col("mh.abundances")).as("abundances"),
+        (lower(col("mh.molecule")) === "protein").as("is_protein"))
+  }
+
+  /** S2 predicate: ksize==0 is a wildcard; moltype None keeps all. */
+  def filterSketches(df: DataFrame, ksize: Int, moltype: Option[String]): DataFrame = {
+    val byK = if (ksize == 0) df else df.where(col("ksize") === ksize)
+    moltype.map(_.toLowerCase) match {
+      case Some("dna") => byK.where(!col("is_protein"))
+      case Some("protein") => byK.where(col("is_protein"))
+      case _ => byK
+    }
+  }
+
+  /** S6 md5sum rule: md5 over ksize decimal ++ each min as unsigned
+    * decimal, no separators (`/root/reference/src/lib.rs:72-77`). */
+  val computeMd5sum = udf((ksize: Int, mins: Seq[Long]) => {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(ksize.toString.getBytes("US-ASCII"))
+    if (mins != null) mins.foreach(m => md.update(U64.toDecimal(m).getBytes("US-ASCII")))
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  })
+
+  /**
+   * S6 sink: rows (as produced by [[read]]) → signature JSON text, one
+   * array per `filename` group, with serde field order and a recomputed
+   * md5sum. Returns a DataFrame (filename, json) — write with
+   * `.write.text` per group or collect for small compat corpora.
+   */
+  def toJson(df: DataFrame): DataFrame = {
+    val u64arr = udf((a: Seq[Long]) =>
+      if (a == null) null else a.map(U64.toDecimal))
+    // serde field order: num, ksize, seed, max_hash, mins, md5sum,
+    // [abundances], molecule (lib.rs:79-100)
+    val mhJson = concat(
+      lit("""{"num":"""), col("num"),
+      lit(""","ksize":"""), col("ksize"),
+      lit(""","seed":"""), col("seed"),
+      lit(""","max_hash":"""), udf((m: Long) => U64.toDecimal(m)).apply(col("max_hash")),
+      lit(""","mins":["""), array_join(u64arr(col("mins")), ","),
+      lit("""],"md5sum":""""), computeMd5sum(col("ksize"), col("mins")), lit("\""),
+      when(col("abundances").isNotNull,
+        concat(lit(""","abundances":["""), array_join(u64arr(col("abundances")), ","), lit("]")))
+        .otherwise(lit("")),
+      lit(""","molecule":""""),
+      when(col("is_protein"), lit("protein")).otherwise(lit("DNA")),
+      lit("\"}"))
+    df.groupBy(col("class"), col("email"), col("hash_function"), col("filename"),
+        col("name"), col("license"), col("version"))
+      .agg(array_join(collect_list(mhJson), ",").as("sketches"))
+      .select(col("filename"),
+        concat(
+          lit("""[{"class":""""), col("class"),
+          lit("""","email":""""), col("email"),
+          lit("""","hash_function":""""), col("hash_function"),
+          lit("""","filename":""""), coalesce(col("filename"), lit("-")),
+          lit("""","name":""""), coalesce(col("name"), lit("")),
+          lit("""","license":""""), col("license"),
+          lit("""","signatures":["""), col("sketches"),
+          lit("""],"version":"""), col("version"), lit("}]")).as("json"))
+  }
+}
