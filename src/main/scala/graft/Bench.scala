@@ -1,24 +1,95 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.operators.DedupPipeline
+import graft.sources.SyntheticCorpus
+
+/**
+ * Benchmark main. Two parts:
+ *
+ *  1. Every registered query at `local[$SPARK_GRAFT_CPUS]` (default 32) on
+ *     `SPARK_GRAFT_SF_DIR`, forced through the noop sink (full
+ *     materialization, no write cost).
+ *  2. Cluster-size scaling evidence for the flagship pipeline (north_rule:
+ *     throughput at N vs 4N executors, efficiency ≥ 0.8): the SAME corpus
+ *     is clustered at `local[8]` and `local[32]` in fresh sessions and
+ *     images/sec is reported for both.
+ *
+ * Prints ONE JSON line:
+ * {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
+ *  "flagship":{"rows":N,"sec_local8":...,"sec_local32":...,
+ *              "ips_local8":...,"ips_local32":...,"scaling_efficiency":...}}
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timeIt(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Rows for the scaling run — large enough that compute dominates the
+    * fixed per-job driver overhead at local[8]. */
+  private def scalingRows(sfDir: String): Long =
+    if (sfDir.contains("sf0.1")) 300000L
+    else if (sfDir.contains("sf0.01")) 60000L
+    else 20000L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // ---- part 1: the query surface
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try {
+        timeIt(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- part 2: flagship scaling (same input, two parallelism levels)
+    val n = scalingRows(sfDir)
+    def flagship(c: Int): Double = {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      spark = session(c)
+      // small warmup to JIT the kernels before timing
+      SyntheticCorpus.corpus(spark, 2000L).toDF()
+        .write.format("noop").mode("overwrite").save()
+      timeIt(DedupPipeline.clusters(SyntheticCorpus.corpus(spark, n).toDF())
+        .write.format("noop").mode("overwrite").save())
+    }
+    val sec8 = flagship(8)
+    val sec32 = flagship(32)
     spark.stop()
+
+    val ips8 = n / sec8
+    val ips32 = n / sec32
+    val eff = ips32 / (4.0 * ips8)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val flag = f"""{"rows":$n,"sec_local8":$sec8%.2f,"sec_local32":$sec32%.2f,""" +
+      f""""ips_local8":$ips8%.1f,"ips_local32":$ips32%.1f,"scaling_efficiency":$eff%.3f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship":$flag}""")
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.SyntheticCorpus
+
+/** Dev-only stage profiler for the flagship pipeline. */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_N", "60000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val cfg = DedupConfig()
+    val corpus = SyntheticCorpus.corpus(spark, n).toDF()
+    time("gen only (noop)") {
+      corpus.write.format("noop").mode("overwrite").save()
+    }
+    val sk = DedupPipeline.sketches(corpus, cfg).persist()
+    time("sketches (materialize)") { sk.count() }
+    val (reps, exactEdges) = DedupPipeline.exactDedup(sk)
+    val repIds = reps.select(col("rep").as("image_id"))
+    val skReps = sk.join(repIds, Seq("image_id"), "left_semi").persist()
+    time("exact dedup + semi") { skReps.count() }
+    val cands = DedupPipeline.candidates(skReps, cfg).persist()
+    time("lsh candidates") { cands.count() }
+    val near = DedupPipeline.confirm(cands, skReps, cfg).select(col("a"), col("b")).persist()
+    time("confirm") { near.count() }
+    val edges = exactEdges.union(near)
+      .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
+    val nodes = sk.select(xxhash64(col("image_id")).as("id"))
+    time("connected components") {
+      ConnectedComponents.labelAll(nodes, edges, cfg.ccMaxIter)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("full clusters") {
+      DedupPipeline.clusters(corpus, cfg).write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

@@ -431,6 +431,18 @@ object Queries {
           min(col("st._3")).as("min_mean_px"),
           max(col("st._3")).as("max_mean_px"),
           countDistinct(col("phash")).as("n_phash"))
+    },
+    // resumable pipeline: checkpoint/lineage table (north_rule); returns
+    // the per-stage lineage metrics of a checkpointed flagship run
+    "m03_checkpointed_lineage" -> { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val n = math.min(corpusRows(d), 2000L)
+      val corpus = SyntheticCorpus.corpus(s, n).toDF()
+      val fp = graft.operators.Lineage.fingerprint("synthetic", n.toString, "42")
+      graft.operators.Lineage.checkpointedClusters(
+        s, corpus, graft.operators.DedupConfig(), root, fp).count()
+      new graft.operators.Lineage(s, root).lineage()
+        .select(col("stage"), col("rows_out"), col("n_partitions"))
     })
 
   // ================================================================ st: structured streaming

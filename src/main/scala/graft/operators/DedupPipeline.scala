@@ -15,14 +15,20 @@ final case class DedupConfig(
     imgSketch: SketchConfig = SketchConfig(num = 128, ksize = 16),
     imgStride: Int = 4,
     capSketch: SketchConfig = SketchConfig(num = 128, ksize = 4),
-    bands: Int = 32,
-    rowsPerBand: Int = 4,
+    // image content is near-orthogonal across rows -> lenient s-curve (32x4).
+    // captions carry heavy template/boilerplate background similarity ->
+    // steep s-curve (16x8) so background jaccard ~0.5 stays out of buckets
+    imgBands: Int = 32,
+    imgRowsPerBand: Int = 4,
+    capBands: Int = 16,
+    capRowsPerBand: Int = 8,
     tauImg: Double = 0.35,
     tauCap: Double = 0.5,
     fpBands: Int = 4,
     phashMaxHamming: Int = 3,
     simhashMaxHamming: Int = 3,
     maxBucket: Int = 64,
+    fpMaxBucket: Int = 8,
     substringMinLen: Int = 20,
     ccMaxIter: Int = 25)
 
@@ -78,11 +84,11 @@ object DedupPipeline {
   def candidates(skReps: DataFrame, cfg: DedupConfig): DataFrame = {
     val cap = Lsh.explodeBands(
       skReps.select(col("image_id").as("id"),
-        minhashBands(col("cap_mins"), cfg.bands, cfg.rowsPerBand, cfg.capSketch.seed).as("bk")),
+        minhashBands(col("cap_mins"), cfg.capBands, cfg.capRowsPerBand, cfg.capSketch.seed).as("bk")),
       "id", "bk", sourceTag = 1)
     val img = Lsh.explodeBands(
       skReps.select(col("image_id").as("id"),
-        minhashBands(col("img_mins"), cfg.bands, cfg.rowsPerBand, cfg.imgSketch.seed).as("bk")),
+        minhashBands(col("img_mins"), cfg.imgBands, cfg.imgRowsPerBand, cfg.imgSketch.seed).as("bk")),
       "id", "bk", sourceTag = 2)
     val ph = Lsh.explodeBands(
       skReps.select(col("image_id").as("id"),
@@ -92,7 +98,14 @@ object DedupPipeline {
       skReps.select(col("image_id").as("id"),
         fingerprintBands(col("cap_simhash"), cfg.fpBands).as("bk")),
       "id", "bk", sourceTag = 4)
-    Lsh.candidatePairs(cap.union(img).union(ph).union(sh), cfg.maxBucket)
+    // MinHash buckets are diverse after exact-dedup (cap 64); 16-bit
+    // fingerprint blocks collide heavily on correlated real-world content,
+    // so they get a much tighter cap — their recall role is redundant with
+    // the MinHash paths except for doubly-perturbed rows. One shared
+    // bucket shuffle; per-source caps ride along as a column.
+    Lsh.candidatePairsCapped(
+      cap.union(img).withColumn("cap", lit(cfg.maxBucket))
+        .union(ph.union(sh).withColumn("cap", lit(cfg.fpMaxBucket))))
   }
 
   /** Confirm candidates with reference-semantics scores; emit edges. */

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Checkpoint + lineage table (north_rule: "every stage writes
+ * per-partition lineage and metrics to an Iceberg checkpoint table so a
+ * killed job resumes partition-exact").
+ *
+ * Local seam for the Iceberg-shaped table (SURVEY.md §7: no Iceberg jars
+ * in this environment): a partitioned parquet layout
+ *
+ *   <root>/stages/<stage>/          — the stage's output rows
+ *   <root>/lineage/                 — append-only metrics rows
+ *
+ * `stage(name, fingerprint)(df)`:
+ *  - if `<root>/stages/<name>` exists with a matching input fingerprint
+ *    (stored in `_meta.json`), the stage is SKIPPED and its output is read
+ *    back — partition-exact resume;
+ *  - otherwise the DataFrame is computed, written, and a lineage row
+ *    `(stage, fingerprint, rows_out, n_partitions, wall_ms, ts)` is
+ *    appended.
+ *
+ * On a real cluster the same calls target Iceberg tables
+ * (`spark.table` / `writeTo(...).append`) — the control flow is identical.
+ */
+final class Lineage(spark: SparkSession, root: String) {
+
+  private def metaPath(name: String) = s"$root/stages/$name/_meta.json"
+  private def dataPath(name: String) = s"$root/stages/$name/data"
+
+  private def readMeta(name: String): Option[String] = {
+    val p = java.nio.file.Paths.get(metaPath(name))
+    if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p).trim)
+    else None
+  }
+
+  /** Run (or resume) a stage keyed by an input fingerprint. */
+  def stage(name: String, fingerprint: String)(df: => DataFrame): DataFrame = {
+    readMeta(name) match {
+      case Some(fp) if fp == fingerprint =>
+        spark.read.parquet(dataPath(name)) // resume: skip recompute
+      case _ =>
+        val t0 = System.nanoTime()
+        val out = df
+        out.write.mode("overwrite").parquet(dataPath(name))
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        val written = spark.read.parquet(dataPath(name))
+        val rows = written.count()
+        val nParts = written.rdd.getNumPartitions
+        appendLineage(name, fingerprint, rows, nParts, wallMs)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(metaPath(name)), fingerprint)
+        written
+    }
+  }
+
+  private def appendLineage(stage: String, fp: String, rows: Long,
+      nParts: Int, wallMs: Long): Unit = {
+    import spark.implicits._
+    Seq((stage, fp, rows, nParts, wallMs, java.time.Instant.now().toString))
+      .toDF("stage", "fingerprint", "rows_out", "n_partitions", "wall_ms", "ts")
+      .write.mode("append").parquet(s"$root/lineage")
+  }
+
+  def lineage(): DataFrame = spark.read.parquet(s"$root/lineage")
+}
+
+object Lineage {
+
+  /** Deterministic fingerprint of a stage's inputs: config rendering +
+    * upstream fingerprints. */
+  def fingerprint(parts: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(p => md.update(p.getBytes("UTF-8")))
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /**
+   * The flagship pipeline with checkpointed stages: sketch → candidates →
+   * edges → clusters, each resumable. A killed run re-invoked with the
+   * same corpus fingerprint reuses every completed stage.
+   */
+  def checkpointedClusters(spark: SparkSession, corpus: DataFrame,
+      cfg: DedupConfig, root: String, corpusFingerprint: String): DataFrame = {
+    val lin = new Lineage(spark, root)
+    val cfgFp = fingerprint(cfg.toString)
+
+    val sk = lin.stage("sketches", fingerprint(corpusFingerprint, cfgFp)) {
+      DedupPipeline.sketches(corpus, cfg)
+    }
+    val skFp = fingerprint(corpusFingerprint, cfgFp, "sketches")
+
+    val reps = lin.stage("exact_reps", skFp) {
+      DedupPipeline.exactDedup(sk)._1
+    }
+    val exactEdges = lin.stage("exact_edges", skFp) {
+      DedupPipeline.exactDedup(sk)._2
+    }
+    val skReps = sk.join(reps.select(col("rep").as("image_id")), Seq("image_id"), "left_semi")
+
+    val cands = lin.stage("candidates", fingerprint(skFp, "cands")) {
+      DedupPipeline.candidates(skReps, cfg)
+    }
+    val nearEdges = lin.stage("near_edges", fingerprint(skFp, "confirm")) {
+      DedupPipeline.confirm(cands, skReps, cfg).select(col("a"), col("b"))
+    }
+    lin.stage("clusters", fingerprint(skFp, "clusters")) {
+      val edges = exactEdges.union(nearEdges)
+        .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
+      val nodes = sk.select(xxhash64(col("image_id")).as("id"))
+      val labels = ConnectedComponents.labelAll(nodes, edges, cfg.ccMaxIter)
+      val idmap = sk.select(col("image_id"), xxhash64(col("image_id")).as("id"))
+      val membered = idmap.join(labels, "id").select(col("image_id"), col("component"))
+      val repNames = membered.groupBy(col("component"))
+        .agg(min(col("image_id")).as("cluster"), count(lit(1)).as("cluster_size"))
+      membered.join(repNames, "component")
+        .select(col("image_id"), col("cluster"), col("cluster_size"))
+    }
+  }
+}

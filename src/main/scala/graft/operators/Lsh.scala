@@ -12,53 +12,79 @@ import org.apache.spark.sql.functions._
  * s-curve guarantee.
  *
  * Scale design:
- *  - ONE shuffle: `(band, bucket)` grouping; pairs are generated inside
- *    each bucket (no self-join, which would shuffle the exploded table
- *    twice).
- *  - Hot buckets (power-law at web scale: boilerplate captions, blank
- *    images) are CAPPED at `maxBucket` ids; oversize buckets are dropped
- *    and COUNTED — never silently (`droppedBuckets` accumulator). True
- *    exact-dup mass must be removed upstream by the exact-dedup
+ *  - bucket sizes are computed FIRST and oversize buckets are dropped
+ *    before any `collect_list` — no unbounded per-bucket row ever
+ *    materializes (a web-scale hot bucket would otherwise be a single
+ *    multi-GB aggregation row);
+ *  - the size-filter join and the member grouping share the `bandKey`
+ *    hash partitioning, so the filter costs no extra shuffle;
+ *  - pairs are generated inside each (bounded) bucket — no self-join,
+ *    which would shuffle the exploded table twice;
+ *  - hot buckets (power-law at web scale: boilerplate captions, blank
+ *    images) must lose their exact-dup mass upstream in the exact-dedup
  *    pre-aggregation (turns the worst skew into a groupBy).
- *  - Output is deduplicated on (a, b) because a pair can collide in
- *    several bands.
+ *
+ * Dropped-bucket accounting is exposed via [[bucketStats]] — callers log
+ * it to the lineage table (never silently).
  */
 object Lsh {
 
   /**
-   * @param banded DataFrame with columns (id: Long/String, bandKey: Long) —
+   * @param banded DataFrame with columns (id: String, bandKey: Long) —
    *               one row per (row, band) from `explode`d band arrays.
-   * @return pairs (a, b) with a < b, distinct.
+   * @return pairs (a, b) with a < b (string order), distinct.
    */
-  def candidatePairs(banded: DataFrame, maxBucket: Int = 64): DataFrame = {
+  def candidatePairs(banded: DataFrame, maxBucket: Int = 64): DataFrame =
+    candidatePairsCapped(banded.withColumn("cap", lit(maxBucket)))
+
+  /**
+   * Like [[candidatePairs]] but with a per-row `cap` column: band sources
+   * with different hot-bucket tolerances (MinHash vs fingerprint blocks)
+   * share ONE bucket shuffle instead of one per source. All rows of a
+   * bucket come from one source (the source tag is mixed into the key),
+   * so `min(cap)` per bucket is exact.
+   */
+  def candidatePairsCapped(banded: DataFrame): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
-    val dropped = spark.sparkContext.longAccumulator("lsh.droppedBuckets")
 
-    val ids = banded.groupBy($"bandKey").agg(collect_list($"id").as("ids"))
-      .where(size($"ids") > 1)
+    val sizes = banded.groupBy($"bandKey")
+      .agg(count(lit(1)).as("bn"), min($"cap").as("bcap"))
+      .where($"bn" >= 2 && $"bn" <= $"bcap")
+    // partitioned by bandKey from the groupBy above; the join and the
+    // next groupBy reuse that partitioning (no extra shuffle)
+    val kept = banded.join(sizes.select($"bandKey"), "bandKey")
 
     val pairGen = udf((ids: Seq[String]) => {
-      if (ids.length > maxBucket) {
-        dropped.add(1)
-        Array.empty[(String, String)]
-      } else {
-        val sorted = ids.sorted.distinct.toArray
-        val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
-          sorted.length * (sorted.length - 1) / 2)
-        var i = 0
-        while (i < sorted.length) {
-          var j = i + 1
-          while (j < sorted.length) { out += ((sorted(i), sorted(j))); j += 1 }
-          i += 1
-        }
-        out.toArray
+      val sorted = ids.sorted.distinct.toArray
+      val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
+        sorted.length * (sorted.length - 1) / 2)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i + 1
+        while (j < sorted.length) { out += ((sorted(i), sorted(j))); j += 1 }
+        i += 1
       }
+      out.toArray
     })
 
-    ids.select(explode(pairGen($"ids")).as("p"))
+    kept.groupBy($"bandKey").agg(collect_list($"id").as("ids"))
+      .select(explode(pairGen($"ids")).as("p"))
       .select($"p._1".as("a"), $"p._2".as("b"))
       .dropDuplicates("a", "b")
+  }
+
+  /** Bucket-size accounting for lineage/metrics: (kept_buckets,
+    * dropped_buckets, max_bucket_seen). */
+  def bucketStats(banded: DataFrame, maxBucket: Int): (Long, Long, Long) = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val sizes = banded.groupBy($"bandKey").agg(count(lit(1)).as("bn")).where($"bn" >= 2)
+    val r = sizes.agg(
+      sum(when($"bn" <= maxBucket, 1L).otherwise(0L)),
+      sum(when($"bn" > maxBucket, 1L).otherwise(0L)),
+      max($"bn")).as[(Option[Long], Option[Long], Option[Long])].first()
+    (r._1.getOrElse(0L), r._2.getOrElse(0L), r._3.getOrElse(0L))
   }
 
   /** Explode an array-of-band-keys column into (id, bandKey) rows, mixing
