@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 import graft.core._
 import graft.sources.ImageCodec
 
@@ -60,16 +61,28 @@ object GraftFunctions {
   }
 
   /** Reference-semantics Jaccard estimate (combined-denominator,
-    * `/root/reference/src/lib.rs:501-508`). */
-  def jaccard(a: Column, b: Column, cfg: SketchConfig): Column = {
+    * `/root/reference/src/lib.rs:501-508`) — native codegen'd Catalyst
+    * expression ([[graft.functions.expressions.JaccardMinhash]]). */
+  def jaccard(a: Column, b: Column, cfg: SketchConfig): Column =
+    Bridge.column(expressions.JaccardMinhash(
+      Bridge.expression(a), Bridge.expression(b), cfg.num))
+
+  /** UDF formulation of [[jaccard]] — differential-test oracle. */
+  def jaccardUdf(a: Column, b: Column, cfg: SketchConfig): Column = {
     val localCfg = cfg
     val f = udf((x: Array[Long], y: Array[Long]) =>
       if (x == null || y == null) 0.0 else MinHash.compare(x, y, localCfg))
     f(a, b)
   }
 
-  /** Asymmetric containment (`/root/reference/src/index.rs:146-160`). */
-  def containment(a: Column, b: Column): Column = {
+  /** Asymmetric containment (`/root/reference/src/index.rs:146-160`) —
+    * native codegen'd expression. */
+  def containment(a: Column, b: Column): Column =
+    Bridge.column(expressions.ContainmentMinhash(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** UDF formulation of [[containment]] — differential-test oracle. */
+  def containmentUdf(a: Column, b: Column): Column = {
     val f = udf((x: Array[Long], y: Array[Long]) =>
       if (x == null || y == null) 0.0 else MinHash.containment(x, y))
     f(a, b)
@@ -86,7 +99,12 @@ object GraftFunctions {
    * shorter than a full band still emit their partial trailing band (a
    * partial band matches only an identical partial band — no skew blowup).
    */
-  def minhashBands(mins: Column, bands: Int, rowsPerBand: Int, seed: Long = 42L): Column = {
+  def minhashBands(mins: Column, bands: Int, rowsPerBand: Int, seed: Long = 42L): Column =
+    Bridge.column(expressions.MinhashBandKeys(
+      Bridge.expression(mins), bands, rowsPerBand, seed))
+
+  /** UDF formulation of [[minhashBands]] — differential-test oracle. */
+  def minhashBandsUdf(mins: Column, bands: Int, rowsPerBand: Int, seed: Long = 42L): Column = {
     val nb = bands; val r = rowsPerBand; val s = seed
     val f = udf((m: Array[Long]) => {
       if (m == null || m.isEmpty) Array.emptyLongArray
@@ -98,6 +116,7 @@ object GraftFunctions {
           val from = i * r
           val until = math.min(from + r, m.length)
           val bb = java.nio.ByteBuffer.allocate((until - from) * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           var j = from
           while (j < until) { bb.putLong(m(j)); j += 1 }
           // mix the band index into the key so band i and band j never share buckets

@@ -1,0 +1,161 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst kernels for the sketch-comparison hot path (SURVEY.md §7
+ * stage 5). They read `ArrayData` in place — no per-row array copies, no
+ * UDF encoder round-trip — and codegen as a single static call, so the
+ * surrounding plan stays inside whole-stage codegen.
+ *
+ * The UDF formulations in [[graft.functions.GraftFunctions]] are kept as
+ * differential-test oracles (ExpressionsSpec asserts bit-equality).
+ */
+object SketchKernels {
+
+  /**
+   * Combined-denominator Jaccard (`intersection_size` + `compare`,
+   * `/root/reference/src/lib.rs:464-508`) in ONE merge pass over two
+   * unsigned-sorted mins arrays: walk the merged union in ascending
+   * unsigned order; `denom` counts union elements up to `num` (bottom-k
+   * re-truncation of the combined sketch); `common` counts elements of
+   * A∩B that fall inside that truncated prefix.
+   */
+  def jaccard(a: ArrayData, b: ArrayData, num: Int): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var union = 0
+    var common = 0
+    val limit = if (num > 0) num else Int.MaxValue
+    while ((i < na || j < nb) && union < limit) {
+      if (i < na && j < nb) {
+        val c = java.lang.Long.compareUnsigned(a.getLong(i), b.getLong(j))
+        if (c == 0) { common += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      } else if (i < na) i += 1
+      else j += 1
+      union += 1
+    }
+    if (union == 0) 0.0 else common.toDouble / math.max(1, union).toDouble
+  }
+
+  /** `count_common / |a|` (`/root/reference/src/index.rs:146-160`). */
+  def containment(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0) return 0.0
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < na && j < nb) {
+      val c = java.lang.Long.compareUnsigned(a.getLong(i), b.getLong(j))
+      if (c == 0) { common += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    common.toDouble / na.toDouble
+  }
+
+  private final val C1 = 0x87c37b91114253d5L
+  private final val C2 = 0x4cf5ad432745937fL
+
+  @inline private def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33; k
+  }
+
+  /**
+   * murmur3_x64_128 low-64 of the little-endian serialization of
+   * `m[from, until)` — equal to `Murmur3.hash64(bytes)` of the same longs
+   * written LE (a long read back from its LE bytes is itself, so blocks
+   * are consumed directly; kernel-parity test in ExpressionsSpec).
+   */
+  def hash64LongsLE(m: ArrayData, from: Int, until: Int, seed: Long): Long = {
+    var h1 = seed
+    var h2 = seed
+    val count = until - from
+    val len = count * 8
+    var i = from
+    while (i + 1 < until) {
+      var k1 = m.getLong(i)
+      var k2 = m.getLong(i + 1)
+      k1 *= C1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= C2; h1 ^= k1
+      h1 = java.lang.Long.rotateLeft(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= C2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= C1; h2 ^= k2
+      h2 = java.lang.Long.rotateLeft(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      i += 2
+    }
+    if (i < until) { // 8-byte tail
+      var k1 = m.getLong(i)
+      k1 *= C1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= C2; h1 ^= k1
+    }
+    h1 ^= len.toLong; h2 ^= len.toLong
+    h1 += h2; h2 += h1
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 + h2
+  }
+
+  /** LSH band keys over a mins array: murmur of each band slice (band
+    * index mixed into the seed), partial trailing band kept. */
+  def bandKeys(m: ArrayData, bands: Int, rowsPerBand: Int, seed: Long): ArrayData = {
+    val n = m.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val nOut = math.min(bands, (n + rowsPerBand - 1) / rowsPerBand)
+    val out = new Array[Long](nOut)
+    var i = 0
+    while (i < nOut) {
+      val from = i * rowsPerBand
+      val until = math.min(from + rowsPerBand, n)
+      out(i) = hash64LongsLE(m, from, until, seed + i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `jaccard_minhash(a, b)` — reference-semantics similarity estimate. */
+case class JaccardMinhash(left: Expression, right: Expression, num: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], num)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.SketchKernels.jaccard($a, $b, $num)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `containment_minhash(a, b)` — asymmetric containment. */
+case class ContainmentMinhash(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.containment(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.SketchKernels.containment($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `minhash_band_keys(mins)` — LSH band keys, codegen'd. */
+case class MinhashBandKeys(child: Expression, bands: Int, rowsPerBand: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(m: Any): Any =
+    SketchKernels.bandKeys(m.asInstanceOf[ArrayData], bands, rowsPerBand, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, m =>
+      s"graft.functions.expressions.SketchKernels.bandKeys($m, $bands, $rowsPerBand, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
  *  - `localCheckpoint` per round cuts the lineage chain (on a cluster this
  *    becomes a checkpoint-table write, giving partition-exact resume).
  */
-object ConnectedComponents {
+object ConnectedComponents extends org.apache.spark.internal.Logging {
 
   /**
    * @param edges two Long columns `src`, `dst` (undirected, dups ok).
@@ -45,11 +45,12 @@ object ConnectedComponents {
       val bidir = e.union(e.select($"dst".as("src"), $"src".as("dst")))
       val mins = bidir.groupBy($"src").agg(min($"dst").as("mn"))
         .select($"src", least($"src", $"mn").as("m"))
+      // no distinct here: small-star's terminal distinct dedups, and the
+      // saved shuffle outweighs the bounded duplicate inflation
       val ls = bidir.join(mins, "src")
         .where($"dst" > $"src")
         .select($"dst".as("src"), $"m".as("dst"))
         .where($"src" =!= $"dst")
-        .distinct()
 
       // ---- small-star: orient u > v; connect all smaller neighbors and u
       //      to m = min neighbor
@@ -70,6 +71,7 @@ object ConnectedComponents {
       lastSig = sig
       e = ss
       iter += 1
+      logWarning(s"[cc] round $iter edges=${sig._1} sig=${sig._2} converged=$converged")
     }
     require(converged || maxIter == 0, s"connected components did not converge in $maxIter rounds")
 

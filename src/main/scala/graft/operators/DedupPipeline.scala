@@ -70,7 +70,9 @@ object DedupPipeline {
   }
 
   /** Exact-duplicate pre-aggregation: representative per exact_key +
-    * member→representative edges. Returns (reps, exactEdges). */
+    * member→representative edges. Returns (reps, exactEdges).
+    * Kept for the checkpointed variant; [[clusters]] uses the single-
+    * shuffle window formulation below. */
   def exactDedup(sk: DataFrame): (DataFrame, DataFrame) = {
     val reps = sk.groupBy(col("exact_key")).agg(min(col("image_id")).as("rep"))
     val exactEdges = sk.select(col("exact_key"), col("image_id"))
@@ -78,6 +80,14 @@ object DedupPipeline {
       .where(col("image_id") =!= col("rep"))
       .select(col("image_id").as("a"), col("rep").as("b"))
     (reps, exactEdges)
+  }
+
+  /** Single-shuffle exact dedup: one window pass over `exact_key` tags
+    * every row with its group representative — replaces groupBy +
+    * broadcast-back + semi-join (3 shuffles → 1). */
+  def exactDedupWindowed(sk: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("exact_key"))
+    sk.withColumn("rep", min(col("image_id")).over(w))
   }
 
   /** Candidate pairs from all four LSH sources, over representatives only. */
@@ -150,25 +160,28 @@ object DedupPipeline {
    * material around 10¹⁰ ids).
    */
   def clusters(corpus: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val sk = sketches(corpus, cfg).persist()
-    val (reps, exactEdges) = exactDedup(sk)
-    val repIds = reps.select(col("rep").as("image_id"))
-    val skReps = sk.join(repIds, Seq("image_id"), "left_semi")
+    val sk = sketches(corpus, cfg)
+    // one window shuffle tags each row with its exact-group rep; persisted
+    // because all four band sources and both confirm sides read it
+    val tagged = exactDedupWindowed(sk).persist()
+    val exactEdges = tagged.where(col("image_id") =!= col("rep"))
+      .select(col("image_id").as("a"), col("rep").as("b"))
+    val skReps = tagged.where(col("image_id") === col("rep"))
     val cands = candidates(skReps, cfg)
     val nearEdges = confirm(cands, skReps, cfg).select(col("a"), col("b"))
 
     val edges = exactEdges.union(nearEdges)
       .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
-    val nodes = sk.select(xxhash64(col("image_id")).as("id"))
+    val nodes = tagged.select(xxhash64(col("image_id")).as("id"))
     val labels = ConnectedComponents.labelAll(nodes, edges, cfg.ccMaxIter)
 
-    val idmap = sk.select(col("image_id"), xxhash64(col("image_id")).as("id"))
+    val idmap = tagged.select(col("image_id"), xxhash64(col("image_id")).as("id"))
     val membered = idmap.join(labels, "id").select(col("image_id"), col("component"))
     val repNames = membered.groupBy(col("component"))
       .agg(min(col("image_id")).as("cluster"), count(lit(1)).as("cluster_size"))
     membered.join(repNames, "component")
       .select(col("image_id"), col("cluster"), col("cluster_size"))
-    // sk stays cached until the action completes; Spark evicts LRU. A
-    // long-lived service would unpersist after materialization.
+    // `tagged` stays cached until the action completes; Spark evicts LRU.
+    // A long-lived service would unpersist after materialization.
   }
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{MinHash, SketchConfig, U64}
+import graft.functions.GraftFunctions._
+import graft.operators.SparkTestSession
+import scala.util.Random
+
+/** Differential tests: native Catalyst expressions vs the UDF oracles
+  * (SURVEY.md §7 stage 5 — "keep UDF versions as differential-test
+  * oracles"). */
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def randomSketchPairs(n: Int, num: Int): Seq[(Array[Long], Array[Long])] = {
+    val r = new Random(42)
+    (0 until n).map { _ =>
+      val base = Array.fill(20 + r.nextInt(200))(
+        if (r.nextBoolean()) r.nextInt(500).toLong else r.nextLong())
+      val mut = base.map(h => if (r.nextInt(4) == 0) r.nextLong() else h)
+      val cfg = SketchConfig(num = num)
+      (MinHash.sketchHashes(base, cfg), MinHash.sketchHashes(mut, cfg))
+    }
+  }
+
+  test("native jaccard/containment/bands == UDF oracles on random sketches") {
+    import spark.implicits._
+    val cfg = SketchConfig(num = 64)
+    val df = randomSketchPairs(200, 64).toDF("a", "b")
+    val out = df.select(
+      jaccard($"a", $"b", cfg).as("j_native"),
+      jaccardUdf($"a", $"b", cfg).as("j_udf"),
+      containment($"a", $"b").as("c_native"),
+      containmentUdf($"a", $"b").as("c_udf"),
+      minhashBands($"a", 16, 8).as("bk_native"),
+      minhashBandsUdf($"a", 16, 8).as("bk_udf")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), "jaccard mismatch")
+      assert(r.getDouble(2) === r.getDouble(3), "containment mismatch")
+      assert(r.getSeq[Long](4) === r.getSeq[Long](5), "band keys mismatch")
+    }
+  }
+
+  test("native jaccard equals kernel MinHash.compare across num configs") {
+    import spark.implicits._
+    for (num <- Seq(0, 8, 64, 128)) {
+      val cfg = SketchConfig(num = num, maxHash = if (num == 0) 1000L else 0L)
+      val pairs = randomSketchPairs(50, if (num == 0) 0 else num)
+        .map { case (a, b) =>
+          if (num == 0)
+            (a.filter(x => U64.le(x, 1000L)), b.filter(x => U64.le(x, 1000L)))
+          else (a, b)
+        }
+      val got = pairs.toDF("a", "b").select(jaccard($"a", $"b", cfg)).collect()
+      pairs.zip(got).foreach { case ((a, b), row) =>
+        assert(row.getDouble(0) === MinHash.compare(a, b, cfg),
+          s"num=$num a=${a.length} b=${b.length}")
+      }
+    }
+  }
+
+  test("expressions stay inside whole-stage codegen (no eval fallback)") {
+    import spark.implicits._
+    // materialize to parquet first: a purely-local relation would be
+    // constant-folded by ConvertToLocalRelation and never reach codegen
+    val tmp = java.nio.file.Files.createTempDirectory("exprspec").toString
+    randomSketchPairs(10, 64).toDF("a", "b").write.mode("overwrite").parquet(tmp)
+    val cfg = SketchConfig(num = 64)
+    val df = spark.read.parquet(tmp)
+      .select(jaccard($"a", $"b", cfg).as("j"), minhashBands($"a", 16, 8).as("bk"))
+    val hasWsc = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasWsc, df.queryExecution.executedPlan.toString)
+    df.collect() // and it actually executes through the generated code
+  }
+}
