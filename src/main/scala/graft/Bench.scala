@@ -28,6 +28,18 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "33554432")
+      // shuffle spill on tmpfs: on a real cluster every executor brings its
+      // own local disks (shuffle bandwidth scales with cluster size); a
+      // single shared virtual disk in local mode is an artificial serial
+      // resource that would understate multi-executor scaling
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) {
+          val d = new java.io.File("/dev/shm/graft-spark"); d.mkdirs()
+          d.getAbsolutePath
+        } else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -14,6 +14,18 @@ object BenchProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "33554432")
+      // shuffle spill on tmpfs: on a real cluster every executor brings its
+      // own local disks (shuffle bandwidth scales with cluster size); a
+      // single shared virtual disk in local mode is an artificial serial
+      // resource that would understate multi-executor scaling
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) {
+          val d = new java.io.File("/dev/shm/graft-spark"); d.mkdirs()
+          d.getAbsolutePath
+        } else System.getProperty("java.io.tmpdir"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,6 +36,16 @@ object BenchProbe {
     }
     val cfg = DedupConfig()
     val corpus = SyntheticCorpus.corpus(spark, n).toDF()
+    if (sys.env.get("SPARK_GRAFT_FULL_ONLY").contains("1")) {
+      // tiny warmup to JIT kernels, then the timed end-to-end run only
+      SyntheticCorpus.corpus(spark, 2000L).toDF()
+        .write.format("noop").mode("overwrite").save()
+      time("full clusters") {
+        DedupPipeline.clusters(corpus, cfg).write.format("noop").mode("overwrite").save()
+      }
+      spark.stop()
+      return
+    }
     time("gen only (noop)") {
       corpus.write.format("noop").mode("overwrite").save()
     }

@@ -535,11 +535,63 @@ object Queries {
       }
     })
 
+  // ================================================================ agg + sql surface
+
+  private val aggAndSql: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K6/K7 merge as a Spark aggregation: chunk-level sketches roll up to
+    // the whole-document sketch (map-side combine; recombination property)
+    "d07_sharded_sketch_merge" -> { (s, d) =>
+      val cfg = docSketch
+      val chunkSize = 100
+      val docs = t(s, d, "documents")
+      // shard each doc into fixed-size char chunks, sketch each chunk
+      val chunks = docs.select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, int(floor((length(text)-1)/$chunkSize))), i -> substring(text, i*$chunkSize + 1, $chunkSize))"))
+            .as(Seq("chunk_idx", "chunk")))
+      // NOTE: chunk sketches use the same shingler; merging chunk sketches
+      // equals sketching the set-union of chunk shingles (not of the whole
+      // undivided text — k-grams crossing chunk borders differ), so the
+      // roll-up is verified against the union-of-chunks sketch
+      val chunkSketches = chunks.select(col("doc_id"),
+        graft.functions.GraftFunctions.captionMinhash(col("chunk"), cfg).as("mins"))
+      chunkSketches.groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashAgg.minhashMerge(col("mins"), cfg).as("merged"))
+        .select(col("doc_id"), size(col("merged")).as("n_mins"),
+          udf((a: Seq[Long]) => if (a.isEmpty) "" else java.lang.Long.toUnsignedString(a.head))
+            .apply(col("merged")).as("first_min"))
+    },
+    // Q8 top-N report: threshold + orderBy + limit over linear search
+    "sm04_search_topn" -> { (s, _) =>
+      if (!refExists) s.emptyDataFrame.select()
+      else {
+        val db = SignatureJson.read(s, s"$refData/.sbt.v5/*")
+        val cfg = graft.core.SketchConfig(num = 500, ksize = 31)
+        val query = db.where(col("filename") === "SRR2060939_1.fastq.gz")
+          .select(col("mins")).head().getSeq[Long](0).toArray
+        SignatureSearch.linear(db, query, cfg, 0.08, "similarity")
+          .orderBy(col("score").desc, col("filename"))
+          .limit(3)
+          .select(col("filename"), round(col("score"), 6).as("score"))
+      }
+    },
+    // SQL surface: the custom kernels as registered Catalyst functions
+    "d08_sql_jaccard" -> { (s, d) =>
+      graft.functions.GraftExtensions.register(s)
+      val sk = docMinhashed(s, d)
+      sk.createOrReplaceTempView("doc_sketches")
+      s.sql(
+        """SELECT a.doc_id AS a, b.doc_id AS b,
+          |  round(graft_jaccard(a.mins, b.mins, 128), 6) AS jac,
+          |  round(graft_containment(a.mins, b.mins), 6) AS containment
+          |FROM doc_sketches a JOIN doc_sketches b ON a.doc_id < b.doc_id
+          |WHERE graft_jaccard(a.mins, b.mins, 128) >= 0.5""".stripMargin)
+    })
+
   // ================================================================ assembled
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ dedup ++ text ++ docDedup ++ fingerprints ++ embeddings ++
-      multimodal ++ streaming ++ sourmash
+      multimodal ++ streaming ++ sourmash ++ aggAndSql
 
   val oracles: Map[String, String] =
     relationalOracles ++ dedupOracles ++ textOracles ++ embeddingOracles ++

@@ -63,6 +63,15 @@ object SketchKernels {
     common.toDouble / na.toDouble
   }
 
+  /** Dot product of two ARRAY<DOUBLE> columns, left-to-right accumulation. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
   private final val C1 = 0x87c37b91114253d5L
   private final val C2 = 0x4cf5ad432745937fL
 
@@ -120,6 +129,19 @@ object SketchKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+/** `dot_product(a, b)` over ARRAY<DOUBLE> — no intermediate array (the
+  * `aggregate(zip_with(...))` formulation allocates one per row). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.SketchKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `jaccard_minhash(a, b)` — reference-semantics similarity estimate. */

@@ -57,10 +57,13 @@ final case class DedupConfig(
  */
 object DedupPipeline {
 
-  /** Per-row sketching; `bytes` is projected away here and never shuffled. */
+  /** Per-row sketching; `bytes` is projected away here and never shuffled.
+    * `vid` (xxhash64 of the id) keys every internal shuffle: 8-byte keys
+    * instead of strings through banding, confirm, and CC. */
   def sketches(df: DataFrame, cfg: DedupConfig): DataFrame = {
     df.select(
       col("image_id"),
+      xxhash64(col("image_id")).as("vid"),
       captionMinhash(col("caption"), cfg.capSketch).as("cap_mins"),
       imageMinhash(col("bytes"), col("fmt"), cfg.imgSketch, cfg.imgStride).as("img_mins"),
       captionSimhash(col("caption"), cfg.capSketch.ksize, cfg.capSketch.seed).as("cap_simhash"),
@@ -93,19 +96,19 @@ object DedupPipeline {
   /** Candidate pairs from all four LSH sources, over representatives only. */
   def candidates(skReps: DataFrame, cfg: DedupConfig): DataFrame = {
     val cap = Lsh.explodeBands(
-      skReps.select(col("image_id").as("id"),
+      skReps.select(col("vid").as("id"),
         minhashBands(col("cap_mins"), cfg.capBands, cfg.capRowsPerBand, cfg.capSketch.seed).as("bk")),
       "id", "bk", sourceTag = 1)
     val img = Lsh.explodeBands(
-      skReps.select(col("image_id").as("id"),
+      skReps.select(col("vid").as("id"),
         minhashBands(col("img_mins"), cfg.imgBands, cfg.imgRowsPerBand, cfg.imgSketch.seed).as("bk")),
       "id", "bk", sourceTag = 2)
     val ph = Lsh.explodeBands(
-      skReps.select(col("image_id").as("id"),
+      skReps.select(col("vid").as("id"),
         fingerprintBands(col("phash"), cfg.fpBands).as("bk")),
       "id", "bk", sourceTag = 3)
     val sh = Lsh.explodeBands(
-      skReps.select(col("image_id").as("id"),
+      skReps.select(col("vid").as("id"),
         fingerprintBands(col("cap_simhash"), cfg.fpBands).as("bk")),
       "id", "bk", sourceTag = 4)
     // MinHash buckets are diverse after exact-dedup (cap 64); 16-bit
@@ -121,12 +124,14 @@ object DedupPipeline {
   /** Confirm candidates with reference-semantics scores; emit edges. */
   def confirm(cands: DataFrame, sk: DataFrame, cfg: DedupConfig): DataFrame = {
     val a = sk.select(
-      col("image_id").as("a"), col("cap_mins").as("cap_a"), col("img_mins").as("img_a"),
+      col("vid").as("a"), col("cap_mins").as("cap_a"), col("img_mins").as("img_a"),
       col("cap_simhash").as("sh_a"), col("phash").as("ph_a"), col("cap_norm").as("cn_a"))
     val b = sk.select(
-      col("image_id").as("b"), col("cap_mins").as("cap_b"), col("img_mins").as("img_b"),
+      col("vid").as("b"), col("cap_mins").as("cap_b"), col("img_mins").as("img_b"),
       col("cap_simhash").as("sh_b"), col("phash").as("ph_b"), col("cap_norm").as("cn_b"))
-    val scored = cands.join(a, "a").join(b, "b")
+    // sketch sides are wide (two 128-long arrays/row) with UDF-derived
+    // stats: force shuffle joins, never a static broadcast
+    val scored = cands.join(a.hint("shuffle_hash"), "a").join(b.hint("shuffle_hash"), "b")
       .withColumn("img_sim", jaccard(col("img_a"), col("img_b"), cfg.imgSketch))
       .withColumn("cap_sim", jaccard(col("cap_a"), col("cap_b"), cfg.capSketch))
       .withColumn("ph_ham", hamming64(col("ph_a"), col("ph_b")))
@@ -165,21 +170,22 @@ object DedupPipeline {
     // because all four band sources and both confirm sides read it
     val tagged = exactDedupWindowed(sk).persist()
     val exactEdges = tagged.where(col("image_id") =!= col("rep"))
-      .select(col("image_id").as("a"), col("rep").as("b"))
+      .select(col("vid").as("src"), xxhash64(col("rep")).as("dst"))
     val skReps = tagged.where(col("image_id") === col("rep"))
     val cands = candidates(skReps, cfg)
-    val nearEdges = confirm(cands, skReps, cfg).select(col("a"), col("b"))
+    val nearEdges = confirm(cands, skReps, cfg)
+      .select(col("a").as("src"), col("b").as("dst"))
 
     val edges = exactEdges.union(nearEdges)
-      .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
-    val nodes = tagged.select(xxhash64(col("image_id")).as("id"))
+    val nodes = tagged.select(col("vid").as("id"))
     val labels = ConnectedComponents.labelAll(nodes, edges, cfg.ccMaxIter)
 
-    val idmap = tagged.select(col("image_id"), xxhash64(col("image_id")).as("id"))
-    val membered = idmap.join(labels, "id").select(col("image_id"), col("component"))
+    val idmap = tagged.select(col("image_id"), col("vid").as("id"))
+    val membered = idmap.join(labels.hint("shuffle_hash"), "id")
+      .select(col("image_id"), col("component"))
     val repNames = membered.groupBy(col("component"))
       .agg(min(col("image_id")).as("cluster"), count(lit(1)).as("cluster_size"))
-    membered.join(repNames, "component")
+    membered.join(repNames.hint("shuffle_hash"), "component")
       .select(col("image_id"), col("cluster"), col("cluster_size"))
     // `tagged` stays cached until the action completes; Spark evicts LRU.
     // A long-lived service would unpersist after materialization.

@@ -92,26 +92,27 @@ object Lineage {
     }
     val skFp = fingerprint(corpusFingerprint, cfgFp, "sketches")
 
-    val reps = lin.stage("exact_reps", skFp) {
-      DedupPipeline.exactDedup(sk)._1
+    val tagged = lin.stage("exact_tagged", skFp) {
+      DedupPipeline.exactDedupWindowed(sk)
     }
     val exactEdges = lin.stage("exact_edges", skFp) {
-      DedupPipeline.exactDedup(sk)._2
+      tagged.where(col("image_id") =!= col("rep"))
+        .select(col("vid").as("src"), xxhash64(col("rep")).as("dst"))
     }
-    val skReps = sk.join(reps.select(col("rep").as("image_id")), Seq("image_id"), "left_semi")
+    val skReps = tagged.where(col("image_id") === col("rep"))
 
     val cands = lin.stage("candidates", fingerprint(skFp, "cands")) {
       DedupPipeline.candidates(skReps, cfg)
     }
     val nearEdges = lin.stage("near_edges", fingerprint(skFp, "confirm")) {
-      DedupPipeline.confirm(cands, skReps, cfg).select(col("a"), col("b"))
+      DedupPipeline.confirm(cands, skReps, cfg)
+        .select(col("a").as("src"), col("b").as("dst"))
     }
     lin.stage("clusters", fingerprint(skFp, "clusters")) {
       val edges = exactEdges.union(nearEdges)
-        .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
-      val nodes = sk.select(xxhash64(col("image_id")).as("id"))
+      val nodes = tagged.select(col("vid").as("id"))
       val labels = ConnectedComponents.labelAll(nodes, edges, cfg.ccMaxIter)
-      val idmap = sk.select(col("image_id"), xxhash64(col("image_id")).as("id"))
+      val idmap = tagged.select(col("image_id"), col("vid").as("id"))
       val membered = idmap.join(labels, "id").select(col("image_id"), col("component"))
       val repNames = membered.groupBy(col("component"))
         .agg(min(col("image_id")).as("cluster"), count(lit(1)).as("cluster_size"))

@@ -53,24 +53,46 @@ object Lsh {
       .where($"bn" >= 2 && $"bn" <= $"bcap")
     // partitioned by bandKey from the groupBy above; the join and the
     // next groupBy reuse that partitioning (no extra shuffle)
-    val kept = banded.join(sizes.select($"bandKey"), "bandKey")
+    // shuffle-hash hint: both sides are huge at scale and the size-filter
+    // side's Catalyst estimate is unreliable (UDF-derived) — never let a
+    // static mis-estimate plan a driver-side broadcast here
+    val kept = banded.join(sizes.select($"bandKey").hint("shuffle_hash"), "bandKey")
 
-    val pairGen = udf((ids: Seq[String]) => {
-      val sorted = ids.sorted.distinct.toArray
-      val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
-        sorted.length * (sorted.length - 1) / 2)
-      var i = 0
-      while (i < sorted.length) {
-        var j = i + 1
-        while (j < sorted.length) { out += ((sorted(i), sorted(j))); j += 1 }
-        i += 1
+    val isLong = banded.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType
+
+    val grouped = kept.groupBy($"bandKey").agg(collect_list($"id").as("ids"))
+    val pairs =
+      if (isLong) {
+        val pairGen = udf((ids: Seq[Long]) => {
+          val sorted = ids.sorted.distinct.toArray
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+            sorted.length * (sorted.length - 1) / 2)
+          var i = 0
+          while (i < sorted.length) {
+            var j = i + 1
+            while (j < sorted.length) { out += ((sorted(i), sorted(j))); j += 1 }
+            i += 1
+          }
+          out.toArray
+        })
+        grouped.select(explode(pairGen($"ids")).as("p"))
+      } else {
+        val pairGen = udf((ids: Seq[String]) => {
+          val sorted = ids.sorted.distinct.toArray
+          val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
+            sorted.length * (sorted.length - 1) / 2)
+          var i = 0
+          while (i < sorted.length) {
+            var j = i + 1
+            while (j < sorted.length) { out += ((sorted(i), sorted(j))); j += 1 }
+            i += 1
+          }
+          out.toArray
+        })
+        grouped.select(explode(pairGen($"ids")).as("p"))
       }
-      out.toArray
-    })
-
-    kept.groupBy($"bandKey").agg(collect_list($"id").as("ids"))
-      .select(explode(pairGen($"ids")).as("p"))
-      .select($"p._1".as("a"), $"p._2".as("b"))
+    pairs.select($"p._1".as("a"), $"p._2".as("b"))
       .dropDuplicates("a", "b")
   }
 

@@ -22,33 +22,46 @@ import graft.core.Murmur3
  */
 object Similarity {
 
+  import org.apache.spark.sql.graft.Bridge
+  import graft.functions.expressions.DotProduct
+
+  /** Native codegen'd dot product (no per-row intermediate arrays). */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
   /** Cosine similarity column between two ARRAY<DOUBLE> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
-    round(dot / sqrt(na * nb), 6)
-  }
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / sqrt(dot(a, a) * dot(b, b)), 6)
+
+  /** Cosine from a precomputed dot and per-side squared norms — hoists the
+    * norm computation out of the pair loop (it is per-vector, not
+    * per-pair; identical value and therefore identical rounding). */
+  private def cosineWithNorms(dotCol: Column, na: Column, nb: Column): Column =
+    round(dotCol / sqrt(na * nb), 6)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** All pairs (id < id) with cosine ≥ minCos — brute force. */
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a"), asDouble(col(vecCol)).as("va"))
-    val b = df.select(col(idCol).as("b"), asDouble(col(vecCol)).as("vb"))
+    val withNorm = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val a = withNorm.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).where(col("a") < col("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cos") >= minCos)
       .select(col("a"), col("b"), col("cos"))
   }
 
   /** Top-k neighbors per id — brute force baseline. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val a = df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("va"))
-    val b = df.select(col(idCol).as("neighbor"), asDouble(col(vecCol)).as("vb"))
+    val withNorm = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val a = withNorm.select(col("id").as("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("neighbor"), col("v").as("vb"), col("nrm").as("nb"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
     a.crossJoin(b).where(col("vec_id") =!= col("neighbor"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("vec_id"), col("neighbor"), col("cos"), col("rk"))

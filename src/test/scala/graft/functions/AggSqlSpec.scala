@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{MinHash, SketchConfig, Shingles}
+import graft.operators.SparkTestSession
+
+class AggSqlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("MinHashMergeAgg: chunk sketches roll up to the union sketch (K6/K7 recombination)") {
+    import spark.implicits._
+    val cfg = SketchConfig(num = 64, ksize = 4)
+    val docs = Seq(
+      (1L, Seq("the quick brown fox", " jumps over the lazy", " dog in the morning sun")),
+      (2L, Seq("completely different content here", " with more words to shingle")))
+    val rows = docs.flatMap { case (id, chunks) => chunks.map(c => (id, c)) }
+    val chunkSketches = rows.toDF("doc_id", "chunk")
+      .select($"doc_id", GraftFunctions.captionMinhash($"chunk", cfg).as("mins"))
+    val merged = chunkSketches.groupBy($"doc_id")
+      .agg(MinHashAgg.minhashMerge($"mins", cfg).as("merged"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    docs.foreach { case (id, chunks) =>
+      val unionHashes = chunks.flatMap(c => Shingles.charShingleHashes(c, 4, 42L)).toArray
+      val expect = MinHash.sketchHashes(unionHashes, cfg).toList
+      assert(merged(id) === expect, s"doc $id")
+    }
+  }
+
+  test("SQL surface: graft_jaccard/containment/band_keys usable from spark.sql") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val cfg = SketchConfig(num = 32, ksize = 3)
+    Seq(("x", "the quick brown fox jumps over the lazy dog by the river bend"),
+        ("y", "the quick brown fox jumped over the lazy dog by the river bend"))
+      .toDF("id", "text")
+      .select($"id", GraftFunctions.captionMinhash($"text", cfg).as("mins"))
+      .createOrReplaceTempView("sqlspec_sketches")
+    val row = spark.sql(
+      """SELECT graft_jaccard(a.mins, b.mins, 32) AS jac,
+        |  graft_containment(a.mins, b.mins) AS cont,
+        |  size(graft_band_keys(a.mins, 8, 4)) AS nbands
+        |FROM sqlspec_sketches a JOIN sqlspec_sketches b
+        |ON a.id = 'x' AND b.id = 'y'""".stripMargin).head()
+    assert(row.getDouble(0) > 0.5 && row.getDouble(0) < 1.0)
+    assert(row.getDouble(1) > 0.5)
+    assert(row.getInt(2) === 8)
+  }
+
+  test("S3 compressed-input analog: gzipped signature JSON reads transparently") {
+    val ref = "/root/reference/tests/data/genome-s10+s11.sig"
+    assume(new java.io.File(ref).isFile)
+    val tmp = java.nio.file.Files.createTempDirectory("siggz")
+    val gz = tmp.resolve("genome.sig.gz")
+    val in = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(ref))
+    val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    out.write(in); out.close()
+    val df = graft.sources.SignatureJson.read(spark, gz.toString)
+    assert(df.count() === 4)
+  }
+}
