@@ -47,7 +47,7 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
         .select($"src", least($"src", $"mn").as("m"))
       // no distinct here: small-star's terminal distinct dedups, and the
       // saved shuffle outweighs the bounded duplicate inflation
-      val ls = bidir.join(mins.hint("shuffle_hash"), "src")
+      val ls = bidir.join(mins.hint("merge"), "src")
         .where($"dst" > $"src")
         .select($"dst".as("src"), $"m".as("dst"))
         .where($"src" =!= $"dst")
@@ -56,7 +56,7 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
       //      to m = min neighbor
       val dir = ls.select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
       val mins2 = dir.groupBy($"src").agg(min($"dst").as("m"))
-      val ss = dir.join(mins2.hint("shuffle_hash"), "src")
+      val ss = dir.join(mins2.hint("merge"), "src")
         .select($"dst".as("src"), $"m".as("dst"))
         .union(mins2.select($"src", $"m".as("dst")))
         .where($"src" =!= $"dst")
@@ -92,7 +92,7 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
     import spark.implicits._
     val lbl = run(edges, maxIter)
     nodes.select($"id").distinct()
-      .join(lbl.hint("shuffle_hash"), Seq("id"), "left")
+      .join(lbl.hint("merge"), Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("component"))
   }
 }

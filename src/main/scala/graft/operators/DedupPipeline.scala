@@ -23,7 +23,13 @@ final case class DedupConfig(
     capBands: Int = 16,
     capRowsPerBand: Int = 8,
     tauImg: Double = 0.35,
-    tauCap: Double = 0.5,
+    // caption-only evidence must be near-identity to merge clusters: at
+    // web scale, templated/boilerplate captions chain moderate-similarity
+    // pairs into mega-clusters of genuinely different images. Moderate
+    // caption similarity is still REPORTED by the pair queries (d04/d05) —
+    // it just does not glue image clusters on its own.
+    tauCap: Double = 0.92,
+    tauCapCorroborated: Double = 0.8,
     fpBands: Int = 4,
     phashMaxHamming: Int = 3,
     simhashMaxHamming: Int = 3,
@@ -131,7 +137,7 @@ object DedupPipeline {
       col("cap_simhash").as("sh_b"), col("phash").as("ph_b"), col("cap_norm").as("cn_b"))
     // sketch sides are wide (two 128-long arrays/row) with UDF-derived
     // stats: force shuffle joins, never a static broadcast
-    val scored = cands.join(a.hint("shuffle_hash"), "a").join(b.hint("shuffle_hash"), "b")
+    val scored = cands.join(a.hint("merge"), "a").join(b.hint("merge"), "b")
       .withColumn("img_sim", jaccard(col("img_a"), col("img_b"), cfg.imgSketch))
       .withColumn("cap_sim", jaccard(col("cap_a"), col("cap_b"), cfg.capSketch))
       .withColumn("ph_ham", hamming64(col("ph_a"), col("ph_b")))
@@ -147,7 +153,8 @@ object DedupPipeline {
       col("img_sim") >= cfg.tauImg ||
         col("cap_sim") >= cfg.tauCap ||
         (col("ph_ham") <= cfg.phashMaxHamming && col("cap_sim") >= 0.3) ||
-        col("sh_ham") <= cfg.simhashMaxHamming ||
+        (col("sh_ham") <= cfg.simhashMaxHamming &&
+          col("cap_sim") >= cfg.tauCapCorroborated) ||
         (col("substr_hit") && col("cap_contain") >= 0.9 &&
           (col("img_sim") >= 0.15 || col("ph_ham") <= 8)))
       .select(col("a"), col("b"), col("img_sim"), col("cap_sim"),
@@ -181,11 +188,11 @@ object DedupPipeline {
     val labels = ConnectedComponents.labelAll(nodes, edges, cfg.ccMaxIter)
 
     val idmap = tagged.select(col("image_id"), col("vid").as("id"))
-    val membered = idmap.join(labels.hint("shuffle_hash"), "id")
+    val membered = idmap.join(labels.hint("merge"), "id")
       .select(col("image_id"), col("component"))
     val repNames = membered.groupBy(col("component"))
       .agg(min(col("image_id")).as("cluster"), count(lit(1)).as("cluster_size"))
-    membered.join(repNames.hint("shuffle_hash"), "component")
+    membered.join(repNames.hint("merge"), "component")
       .select(col("image_id"), col("cluster"), col("cluster_size"))
     // `tagged` stays cached until the action completes; Spark evicts LRU.
     // A long-lived service would unpersist after materialization.

@@ -56,7 +56,7 @@ object Lsh {
     // shuffle-hash hint: both sides are huge at scale and the size-filter
     // side's Catalyst estimate is unreliable (UDF-derived) — never let a
     // static mis-estimate plan a driver-side broadcast here
-    val kept = banded.join(sizes.select($"bandKey").hint("shuffle_hash"), "bandKey")
+    val kept = banded.join(sizes.select($"bandKey").hint("merge"), "bandKey")
 
     val isLong = banded.schema("id").dataType ==
       org.apache.spark.sql.types.LongType
