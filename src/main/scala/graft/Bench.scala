@@ -56,7 +56,7 @@ object Bench {
   /** Rows for the scaling run — large enough that compute dominates the
     * fixed per-job driver overhead at local[8]. */
   private def scalingRows(sfDir: String): Long =
-    if (sfDir.contains("sf0.1")) 2000000L
+    if (sfDir.contains("sf0.1")) 600000L
     else if (sfDir.contains("sf0.01")) 60000L
     else 20000L
 
