@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for the plan-quality audit
+  * (predicate pushdown, column pruning, codegen spans, join strategies).
+  * Output reviewed into BENCH/PLANS.md. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    def dump(name: String): Unit = {
+      println(s"\n######## $name ########")
+      SparkEntry.queries(name)(spark, sf).explain("formatted")
+    }
+    Seq("q01_filter_project", "q02_agg_group", "q03_join_agg",
+      "d04_minhash_jaccard_dedup", "e02_embedding_pairs").foreach(dump)
+    spark.stop()
+  }
+}
