@@ -20,8 +20,12 @@ final case class DedupConfig(
     // steep s-curve (16x8) so background jaccard ~0.5 stays out of buckets
     imgBands: Int = 32,
     imgRowsPerBand: Int = 4,
-    capBands: Int = 16,
-    capRowsPerBand: Int = 8,
+    // 8×16 after the round-1 flood diagnosis: 16×8 let 61% of jaccard-0.7
+    // template background collide (2.09M of 2.4M candidate pairs at 300k
+    // were caption-source); 8×16 passes 2.6% at 0.7 and 91% at the 0.92
+    // caption-only edge threshold (image-backed dups are unaffected)
+    capBands: Int = 8,
+    capRowsPerBand: Int = 16,
     tauImg: Double = 0.35,
     // caption-only evidence must be near-identity to merge clusters: at
     // web scale, templated/boilerplate captions chain moderate-similarity
