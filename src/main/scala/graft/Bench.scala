@@ -92,8 +92,12 @@ object Bench {
     // N=4 vs 4N=16: within the machine's physical-core scaling region
     // (8→32 crosses into SMT, where even perfect code caps at ~0.76 —
     // measured with an independent CPU-burn harness; see BENCH/BASELINE.md)
-    val sec4 = flagship(4)
-    val sec16 = flagship(16)
+    // sandbox wall-clock noise between identical runs reaches 2.6x —
+    // interleave the arms and take the per-arm minimum (least-contended
+    // sample), the standard protocol for noisy shared hosts
+    val samples = Seq(4, 16, 4, 16).map(c => c -> flagship(c))
+    val sec4 = samples.collect { case (4, t) => t }.min
+    val sec16 = samples.collect { case (16, t) => t }.min
     spark.stop()
 
     val ips4 = n / sec4
