@@ -577,13 +577,17 @@ object Queries {
     // SQL surface: the custom kernels as registered Catalyst functions
     "d08_sql_jaccard" -> { (s, d) =>
       graft.functions.GraftExtensions.register(s)
-      val sk = docMinhashed(s, d)
+      // blocked by source like d02: the SQL surface demo should not be an
+      // unblocked O(n^2) crossJoin at bench scale
+      val sk = t(s, d, "documents").select(col("doc_id"), col("source"),
+        GraftFunctions.captionMinhash(col("text"), docSketch).as("mins"))
       sk.createOrReplaceTempView("doc_sketches")
       s.sql(
         """SELECT a.doc_id AS a, b.doc_id AS b,
           |  round(graft_jaccard(a.mins, b.mins, 128), 6) AS jac,
           |  round(graft_containment(a.mins, b.mins), 6) AS containment
-          |FROM doc_sketches a JOIN doc_sketches b ON a.doc_id < b.doc_id
+          |FROM doc_sketches a JOIN doc_sketches b
+          |  ON a.source = b.source AND a.doc_id < b.doc_id
           |WHERE graft_jaccard(a.mins, b.mins, 128) >= 0.5""".stripMargin)
     })
 
