@@ -65,6 +65,15 @@ final case class DedupConfig(
  * here one per modality): image MinHash bands, caption MinHash bands,
  * phash bit-blocks, caption SimHash bit-blocks.
  */
+/** Tracks DataFrames persisted while building a pipeline so callers can
+  * release executor cache once the result is materialized (a long-lived
+  * session running many pipelines would otherwise leak cache). */
+final class CacheHandle {
+  private var dfs: List[DataFrame] = Nil
+  private[operators] def track(df: DataFrame): DataFrame = { dfs ::= df; df }
+  def release(): Unit = { dfs.foreach(_.unpersist(false)); dfs = Nil }
+}
+
 object DedupPipeline {
 
   /** Per-row sketching; `bytes` is projected away here and never shuffled.
@@ -79,7 +88,12 @@ object DedupPipeline {
       captionSimhash(col("caption"), cfg.capSketch.ksize, cfg.capSketch.seed).as("cap_simhash"),
       col("phash"),
       regexp_replace(lower(trim(col("caption"))), "\\s+", " ").as("cap_norm"),
-      md5(concat(md5(col("bytes")), md5(encode(col("caption"), "UTF-8")))).as("exact_key"))
+      // null-safe: concat propagates null, which would glue every
+      // null-caption/null-bytes row into one giant "exact dup" group —
+      // coalesce each field to a distinct sentinel instead
+      md5(concat_ws(":",
+        coalesce(md5(col("bytes")), lit("nb")),
+        coalesce(md5(encode(col("caption"), "UTF-8")), lit("nc")))).as("exact_key"))
   }
 
   /** Exact-duplicate pre-aggregation: representative per exact_key +
@@ -175,11 +189,13 @@ object DedupPipeline {
    * an assigned-id dimension table here (64-bit birthday collisions become
    * material around 10¹⁰ ids).
    */
-  def clusters(corpus: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+  def clusters(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),
+      cache: CacheHandle = new CacheHandle()): DataFrame = {
     val sk = sketches(corpus, cfg)
     // one window shuffle tags each row with its exact-group rep; persisted
-    // because all four band sources and both confirm sides read it
-    val tagged = exactDedupWindowed(sk).persist()
+    // because all four band sources and both confirm sides read it.
+    // Tracked in `cache` — callers release() after materialization.
+    val tagged = cache.track(exactDedupWindowed(sk).persist())
     val exactEdges = tagged.where(col("image_id") =!= col("rep"))
       .select(col("vid").as("src"), xxhash64(col("rep")).as("dst"))
     val skReps = tagged.where(col("image_id") === col("rep"))
@@ -198,7 +214,5 @@ object DedupPipeline {
       .agg(min(col("image_id")).as("cluster"), count(lit(1)).as("cluster_size"))
     membered.join(repNames.hint("merge"), "component")
       .select(col("image_id"), col("cluster"), col("cluster_size"))
-    // `tagged` stays cached until the action completes; Spark evicts LRU.
-    // A long-lived service would unpersist after materialization.
   }
 }

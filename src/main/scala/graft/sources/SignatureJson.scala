@@ -107,6 +107,20 @@ object SignatureJson {
   def toJson(df: DataFrame): DataFrame = {
     val u64arr = udf((a: Seq[Long]) =>
       if (a == null) null else a.map(U64.toDecimal))
+    // JSON string literal with escaping (quote/backslash/control chars);
+    // null in → JSON null out (the reference's serde emits null for
+    // missing filename/name, not a "-" placeholder)
+    val jsonStr = udf((s: String) =>
+      if (s == null) "null"
+      else "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\"")
     // serde field order: num, ksize, seed, max_hash, mins, md5sum,
     // [abundances], molecule (lib.rs:79-100)
     val mhJson = concat(
@@ -127,13 +141,13 @@ object SignatureJson {
       .agg(array_join(collect_list(mhJson), ",").as("sketches"))
       .select(col("filename"),
         concat(
-          lit("""[{"class":""""), col("class"),
-          lit("""","email":""""), col("email"),
-          lit("""","hash_function":""""), col("hash_function"),
-          lit("""","filename":""""), coalesce(col("filename"), lit("-")),
-          lit("""","name":""""), coalesce(col("name"), lit("")),
-          lit("""","license":""""), col("license"),
-          lit("""","signatures":["""), col("sketches"),
+          lit("""[{"class":"""), jsonStr(col("class")),
+          lit(""","email":"""), jsonStr(col("email")),
+          lit(""","hash_function":"""), jsonStr(col("hash_function")),
+          lit(""","filename":"""), jsonStr(col("filename")),
+          lit(""","name":"""), jsonStr(col("name")),
+          lit(""","license":"""), jsonStr(col("license")),
+          lit(""","signatures":["""), col("sketches"),
           lit("""],"version":"""), col("version"), lit("}]")).as("json"))
   }
 }

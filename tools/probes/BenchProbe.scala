@@ -59,8 +59,12 @@ object BenchProbe {
     time("lsh candidates") { cands.count() }
     val near = DedupPipeline.confirm(cands, skReps, cfg).select(col("a"), col("b")).persist()
     time("confirm") { near.count() }
-    val edges = exactEdges.union(near)
+    // keep edges in vid space: exactEdges carries image_id strings (hash
+    // them once), near already carries vids (do NOT re-hash — double
+    // hashing would orphan every near edge from the node set)
+    val edges = exactEdges
       .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
+      .union(near.select(col("a").as("src"), col("b").as("dst")))
     val nodes = sk.select(xxhash64(col("image_id")).as("id"))
     time("connected components") {
       ConnectedComponents.labelAll(nodes, edges, cfg.ccMaxIter)
