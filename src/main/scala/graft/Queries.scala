@@ -26,6 +26,35 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // ---------------------------------------------------------------- derived tables
+  //
+  // Sketch-family queries are not directly SQL-expressible (murmur3-based
+  // kernels), but their CONFIRM/GROUP/CLUSTER logic is. Each query dumps
+  // its kernel-derived intermediate (sketches, band keys, edges) to a
+  // fixed parquet path; the query reads the dump back (a persisted
+  // intermediate — the sketch UDF runs once, not once per consumer) and
+  // the DuckDB oracle replicates everything downstream of the kernel from
+  // the same file via read_parquet. Oracle SQL hardcodes the sf0.01 path —
+  // the scale the driver's correctness gate runs at.
+
+  private val derivedRoot = "/tmp/graft_derived"
+  private def derivedDir(d: String): String =
+    s"$derivedRoot/${new java.io.File(d).getName}"
+
+  private val dumpedPaths = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Write `df` once per (sfDir, name) per JVM; read the parquet back. */
+  private def dumpDerived(s: SparkSession, d: String, name: String)(df: => DataFrame): DataFrame = {
+    val path = s"${derivedDir(d)}/$name.parquet"
+    dumpedPaths.getOrElseUpdate(path, df.write.mode("overwrite").parquet(path))
+    s.read.parquet(path)
+  }
+
+  /** Oracle-side path for a derived table (driver gate runs at sf0.01);
+    * Spark writes a directory of part files — glob them. */
+  private def oraclePath(name: String): String =
+    s"'$derivedRoot/sf0.01/$name.parquet/*.parquet'"
+
   /** Corpus size for multimodal queries, scaled off the sf dir name. */
   def corpusRows(dir: String): Long =
     if (dir.contains("sf0.1")) 20000L
@@ -163,11 +192,23 @@ object Queries {
         .groupBy(md5(encode(col("text"), "UTF-8")).as("text_md5"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
     },
-    // exact n-gram Jaccard within source blocks (blocked pairwise dedup)
+    // exact n-gram Jaccard within source blocks (blocked pairwise dedup).
+    // High-document-frequency grams are dropped BEFORE the self-join: a
+    // boilerplate gram appearing in every doc of a source would otherwise
+    // produce |docs|² rows in its join group — the classic web-scale
+    // stopword blowup. Jaccard is therefore over the rare-gram sets
+    // (df ≤ 200), consistently in sizes and intersection (and mirrored in
+    // the oracle). The df filter reuses the (source, gram) partitioning of
+    // its own groupBy, so it costs no extra shuffle over the join.
     "d02_ngram_jaccard" -> { (s, d) =>
+      val dfMax = 200
       val docs = t(s, d, "documents").where(length(col("text")) >= 3)
-      val grams = docs.select(col("doc_id"), col("source"),
+      val allGrams = docs.select(col("doc_id"), col("source"),
           explode(expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")).as("gram"))
+      val rare = allGrams.groupBy(col("source"), col("gram"))
+        .agg(count(lit(1)).as("df")).where(col("df") <= dfMax)
+        .select(col("source"), col("gram"))
+      val grams = allGrams.join(rare, Seq("source", "gram"))
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val g1 = grams.select(col("doc_id").as("a"), col("source"), col("gram"))
       val g2 = grams.select(col("doc_id").as("b"), col("source"), col("gram"))
@@ -190,8 +231,11 @@ object Queries {
       """WITH pos AS (
         |  SELECT doc_id, source, text, unnest(range(1, length(text)-1)) AS i
         |  FROM documents WHERE length(text) >= 3
-        |), grams AS (
+        |), all_grams AS (
         |  SELECT DISTINCT doc_id, source, substr(text, i::INT, 3) AS gram FROM pos
+        |), grams AS (
+        |  SELECT doc_id, source, gram FROM all_grams
+        |  QUALIFY count(*) OVER (PARTITION BY source, gram) <= 200
         |), sizes AS (
         |  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
         |), common AS (
@@ -281,7 +325,15 @@ object Queries {
         |    ELSE 'unknown' END AS predicted
         |FROM b""".stripMargin)
 
-  // ================================================================ d: sketch dedup on documents (rows-only: sketch internals not SQL-expressible)
+  // ================================================================ d: sketch dedup on documents
+  //
+  // The murmur3/minhash/simhash KERNELS are not SQL-expressible, but every
+  // stage downstream of them is: each query dumps its kernel output
+  // (sketches / band keys) as a derived table and the DuckDB oracle
+  // independently replicates the bucketing, capping, pair generation,
+  // combined-denominator Jaccard, Hamming confirm, and connected
+  // components from that dump. The kernels themselves are golden- and
+  // property-tested in KernelSpec/ExpressionsSpec.
 
   import graft.core.{MinHash, SketchConfig, Shingles}
   import graft.functions.GraftFunctions
@@ -289,28 +341,61 @@ object Queries {
 
   private val docSketch = SketchConfig(num = 128, ksize = 4)
 
-  private def docMinhashed(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(col("doc_id"),
-      GraftFunctions.captionMinhash(col("text"), docSketch).as("mins"),
-      GraftFunctions.captionSimhash(col("text"), docSketch.ksize).as("simhash"))
+  /** (doc_id, source, mins, simhash) — written once, read by d03–d08. */
+  private def docSketches(s: SparkSession, d: String): DataFrame =
+    dumpDerived(s, d, "doc_sketches") {
+      t(s, d, "documents").select(col("doc_id"), col("source"),
+        GraftFunctions.captionMinhash(col("text"), docSketch).as("mins"),
+        GraftFunctions.captionSimhash(col("text"), docSketch.ksize).as("simhash"))
+    }
 
-  private def docCandidates(s: SparkSession, d: String): DataFrame = {
-    val sk = docMinhashed(s, d)
-    val banded = Lsh.explodeBands(
-      sk.select(col("doc_id").cast("string").as("id"),
-        GraftFunctions.minhashBands(col("mins"), bands = 16, rowsPerBand = 8).as("bk")),
-      "id", "bk", sourceTag = 11)
-    Lsh.candidatePairs(banded, maxBucket = 64)
-      .select(least(col("a").cast("long"), col("b").cast("long")).as("a"),
-        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
-  }
+  /** (id, bandKey) — the exploded MinHash LSH band table over doc_id. */
+  private def docBanded(s: SparkSession, d: String): DataFrame =
+    dumpDerived(s, d, "doc_banded") {
+      Lsh.explodeBands(
+        docSketches(s, d).select(col("doc_id").as("id"),
+          GraftFunctions.minhashBands(col("mins"), bands = 16, rowsPerBand = 8).as("bk")),
+        "id", "bk", sourceTag = 11)
+    }
+
+  private def docCandidates(s: SparkSession, d: String): DataFrame =
+    Lsh.candidatePairs(docBanded(s, d), maxBucket = 64)
+
+  /** DuckDB replica of [[Lsh.candidatePairsCapped]] over the band dump. */
+  private def candSql: String =
+    s"""bnd AS (SELECT id, bandKey FROM read_parquet(${oraclePath("doc_banded")})),
+       |keep AS (SELECT bandKey FROM bnd GROUP BY bandKey HAVING count(*) BETWEEN 2 AND 64),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM bnd x JOIN keep USING (bandKey) JOIN bnd y USING (bandKey)
+       |  WHERE x.id < y.id)""".stripMargin
+
+  /** DuckDB replica of the combined-denominator Jaccard confirm
+    * (reference semantics, num=128) over candidate pairs. */
+  private def jacSql: String =
+    s"""sk AS (SELECT doc_id, mins FROM read_parquet(${oraclePath("doc_sketches")})),
+       |uni AS (
+       |  SELECT c.a, c.b,
+       |    unnest(list_distinct(list_concat(sa.mins, sb.mins))) AS m,
+       |    sa.mins AS ma, sb.mins AS mb
+       |  FROM cand c
+       |  JOIN sk sa ON sa.doc_id = c.a
+       |  JOIN sk sb ON sb.doc_id = c.b),
+       |rk AS (
+       |  SELECT a, b, list_contains(ma, m) AND list_contains(mb, m) AS in_both,
+       |    row_number() OVER (PARTITION BY a, b ORDER BY (m < 0), m) AS r
+       |  FROM uni),
+       |jac AS (
+       |  SELECT a, b,
+       |    round(count(*) FILTER (WHERE in_both) * 1.0 / greatest(count(*), 1), 6) AS jac_est
+       |  FROM rk WHERE r <= 128 GROUP BY a, b)""".stripMargin
 
   private val docDedup: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash + LSH banding: candidate pair generation (bucket equi-grouping)
     "d03_minhash_lsh_pairs" -> { (s, d) => docCandidates(s, d) },
     // candidate confirm with reference-semantics Jaccard estimate
     "d04_minhash_jaccard_dedup" -> { (s, d) =>
-      val sk = docMinhashed(s, d)
+      val sk = docSketches(s, d)
       docCandidates(s, d)
         .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
         .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
@@ -320,14 +405,12 @@ object Queries {
     },
     // SimHash near-dup pairs: pigeonhole banding + Hamming confirm
     "d05_simhash_dedup" -> { (s, d) =>
-      val sk = docMinhashed(s, d)
+      val sk = docSketches(s, d)
       val banded = Lsh.explodeBands(
-        sk.select(col("doc_id").cast("string").as("id"),
+        sk.select(col("doc_id").as("id"),
           GraftFunctions.fingerprintBands(col("simhash"), 8).as("bk")),
         "id", "bk", sourceTag = 12)
       Lsh.candidatePairs(banded, maxBucket = 64)
-        .select(least(col("a").cast("long"), col("b").cast("long")).as("a"),
-          greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
         .join(sk.select(col("doc_id").as("a"), col("simhash").as("sh_a")), "a")
         .join(sk.select(col("doc_id").as("b"), col("simhash").as("sh_b")), "b")
         .withColumn("hamming", GraftFunctions.hamming64(col("sh_a"), col("sh_b")))
@@ -336,7 +419,7 @@ object Queries {
     },
     // near-dup clusters: confirmed edges → connected components
     "d06_doc_clusters" -> { (s, d) =>
-      val sk = docMinhashed(s, d)
+      val sk = docSketches(s, d)
       val edges = docCandidates(s, d)
         .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
         .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
@@ -347,14 +430,65 @@ object Queries {
         .select(col("id").as("doc_id"), col("component").as("cluster"))
     })
 
+  private val docDedupOracles: Map[String, String] = Map(
+    "d03_minhash_lsh_pairs" ->
+      s"""WITH $candSql
+         |SELECT a, b FROM cand""".stripMargin,
+    "d04_minhash_jaccard_dedup" ->
+      s"""WITH $candSql,
+         |$jacSql
+         |SELECT a, b, jac_est FROM jac WHERE jac_est >= 0.5""".stripMargin,
+    // simhash bucketing replicated from the fingerprint alone: 8-bit
+    // pigeonhole blocks, bucket cap, pair gen, Hamming confirm — all in SQL
+    "d05_simhash_dedup" ->
+      s"""WITH s AS (SELECT doc_id, simhash,
+         |    CASE WHEN simhash < 0 THEN simhash::HUGEINT + 18446744073709551616
+         |         ELSE simhash::HUGEINT END AS u
+         |  FROM read_parquet(${oraclePath("doc_sketches")})),
+         |pw(i, p) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT), (2, 65536::HUGEINT),
+         |  (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT), (5, 1099511627776::HUGEINT),
+         |  (6, 281474976710656::HUGEINT), (7, 72057594037927936::HUGEINT)),
+         |blocks AS (SELECT s.doc_id, pw.i, (s.u // pw.p) % 256 AS blk FROM s, pw),
+         |keep AS (SELECT i, blk FROM blocks GROUP BY i, blk HAVING count(*) BETWEEN 2 AND 64),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM blocks x JOIN keep USING (i, blk) JOIN blocks y USING (i, blk)
+         |  WHERE x.doc_id < y.doc_id),
+         |ham AS (
+         |  SELECT c.a, c.b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+         |  FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b)
+         |SELECT a, b, hamming FROM ham WHERE hamming <= 7""".stripMargin,
+    // connected components via recursive transitive closure (small graph)
+    "d06_doc_clusters" ->
+      s"""WITH RECURSIVE $candSql,
+         |$jacSql,
+         |edges AS (SELECT a, b FROM jac WHERE jac_est >= 0.5),
+         |und AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
+         |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)
+
   // ================================================================ t04: winnowing fingerprints
+  //
+  // The murmur shingle hashes are dumped; the oracle replicates the
+  // winnowing itself (window-min with rightmost tie-break + consecutive-
+  // pick dedup, Schleimer et al.) with SQL window functions — an
+  // independent implementation of the selection logic.
 
   private val fingerprints: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t04_winnow_fingerprint" -> { (s, d) =>
-      val fp = udf((text: String) => {
-        val hs = Shingles.charShingleHashes(text, 5, 42L)
-        Shingles.winnow(hs, 8)
-      })
+      // dump the murmur shingle stream — the oracle winnows it independently
+      dumpDerived(s, d, "t04_shingles") {
+        val sh = udf((text: String) => Shingles.charShingleHashes(text, 5, 42L))
+        t(s, d, "documents")
+          .select(col("doc_id"), posexplode_outer(sh(col("text"))).as(Seq("pos", "h")))
+      }
+      val fp = udf((text: String) =>
+        Shingles.winnow(Shingles.charShingleHashes(text, 5, 42L), 8))
       t(s, d, "documents")
         .withColumn("fps", fp(col("text")))
         .select(col("doc_id"), size(col("fps")).as("n_fps"),
@@ -362,6 +496,46 @@ object Queries {
           udf((a: Seq[Long]) => if (a.isEmpty) "" else java.lang.Long.toUnsignedString(a.head))
             .apply(col("fps")).as("first_fp"))
     })
+
+  private val fingerprintOracles: Map[String, String] = Map(
+    // winnow(w=8): per window start, pick the rightmost-tie minimum (by
+    // unsigned value); dedup consecutive picks by position; short streams
+    // (< 8 hashes) yield their single global min. Encoded as one HUGEINT
+    // key = u * 2^20 + (2^20-1-pos) so min(key) = (min u, max pos).
+    "t04_winnow_fingerprint" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN h < 0 THEN h::HUGEINT + 18446744073709551616
+         |         ELSE h::HUGEINT END AS u
+         |  FROM read_parquet(${oraclePath("t04_shingles")})
+         |  WHERE pos IS NOT NULL),
+         |k AS (SELECT doc_id, pos, u, u * 1048576 + (1048575 - pos) AS key FROM h),
+         |len AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+         |win AS (
+         |  SELECT doc_id, pos,
+         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mkey,
+         |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wn
+         |  FROM k),
+         |picks AS (
+         |  SELECT doc_id, pos, 1048575 - (mkey % 1048576) AS pick_pos,
+         |    mkey // 1048576 AS pick_u,
+         |    lag(1048575 - (mkey % 1048576)) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_pos
+         |  FROM win WHERE wn = 8),
+         |dedup AS (
+         |  SELECT doc_id, pos, pick_pos, pick_u FROM picks
+         |  WHERE prev_pos IS NULL OR pick_pos <> prev_pos),
+         |long_docs AS (
+         |  SELECT doc_id, count(*) AS n_fps, arg_min(pick_u, pos)::VARCHAR AS first_fp
+         |  FROM dedup GROUP BY doc_id),
+         |short_docs AS (
+         |  SELECT h.doc_id, 1 AS n_fps, min(u)::VARCHAR AS first_fp
+         |  FROM h JOIN len USING (doc_id) WHERE len.n <= 8 GROUP BY h.doc_id),
+         |fp AS (SELECT * FROM long_docs UNION ALL SELECT * FROM short_docs)
+         |SELECT d.doc_id, coalesce(fp.n_fps, 0) AS n_fps,
+         |  coalesce(fp.first_fp, '') AS first_fp
+         |FROM documents d LEFT JOIN fp USING (doc_id)""".stripMargin)
 
   // ================================================================ e: embedding similarity
 
@@ -408,9 +582,18 @@ object Queries {
   import graft.sources.{ImageCodec, SyntheticCorpus}
 
   private val multimodal: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // the flagship pipeline as a registered operator (north_rule)
+    // the flagship pipeline as a registered operator (north_rule). The
+    // derived edge set + id map are dumped so the oracle can replicate the
+    // clustering tail (connected components + representative relabel)
+    // independently via a recursive transitive closure.
     "m01_corpus_dedup_clusters" -> { (s, d) =>
-      DedupPipeline.clusters(SyntheticCorpus.corpus(s, corpusRows(d)).toDF())
+      val corpus = SyntheticCorpus.corpus(s, corpusRows(d)).toDF()
+      val cache = new graft.operators.CacheHandle()
+      val (idmap0, edges0) = DedupPipeline.edges(corpus, cache = cache)
+      val idmap = dumpDerived(s, d, "m01_idmap")(idmap0)
+      val edges = dumpDerived(s, d, "m01_edges")(edges0)
+      cache.release()
+      DedupPipeline.clustersFromEdges(idmap, edges)
     },
     // binary-column decode + feature extraction (multimodal plumbing;
     // decode for non-PPM formats is the clearly-marked stub fallback)
@@ -441,9 +624,33 @@ object Queries {
       val fp = graft.operators.Lineage.fingerprint("synthetic", n.toString, "42")
       graft.operators.Lineage.checkpointedClusters(
         s, corpus, graft.operators.DedupConfig(), root, fp).count()
+      // stage names + row counts are deterministic for the fixed corpus;
+      // n_partitions depends on the session's parallelism — excluded
       new graft.operators.Lineage(s, root).lineage()
-        .select(col("stage"), col("rows_out"), col("n_partitions"))
+        .select(col("stage"), col("rows_out"))
     })
+
+  private val multimodalOracles: Map[String, String] = Map(
+    // clustering tail replicated as a recursive transitive closure over
+    // the dumped edge set, then min-image_id relabel + component sizes
+    "m01_corpus_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |ed AS (SELECT src, dst FROM read_parquet(${oraclePath("m01_edges")}) WHERE src <> dst),
+         |und AS (SELECT src AS u, dst AS v FROM ed UNION SELECT dst, src FROM ed),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+         |nodes AS (SELECT image_id, vid FROM read_parquet(${oraclePath("m01_idmap")})),
+         |lbl AS (
+         |  SELECT n.image_id, coalesce(c.component, n.vid) AS component
+         |  FROM nodes n LEFT JOIN comp c ON c.id = n.vid),
+         |named AS (
+         |  SELECT component, min(image_id) AS cluster, count(*) AS cluster_size
+         |  FROM lbl GROUP BY component)
+         |SELECT l.image_id, nm.cluster, nm.cluster_size
+         |FROM lbl l JOIN named nm USING (component)""".stripMargin)
 
   // ================================================================ st: structured streaming
 
@@ -543,17 +750,20 @@ object Queries {
     "d07_sharded_sketch_merge" -> { (s, d) =>
       val cfg = docSketch
       val chunkSize = 100
-      val docs = t(s, d, "documents")
-      // shard each doc into fixed-size char chunks, sketch each chunk
-      val chunks = docs.select(col("doc_id"),
-          posexplode(expr(s"transform(sequence(0, int(floor((length(text)-1)/$chunkSize))), i -> substring(text, i*$chunkSize + 1, $chunkSize))"))
-            .as(Seq("chunk_idx", "chunk")))
+      // shard each doc into fixed-size char chunks, sketch each chunk;
+      // chunk sketches are dumped — the oracle replicates the merge
+      // (bottom-128 of the distinct unsigned-sorted union) in SQL
+      val chunkSketches = dumpDerived(s, d, "d07_chunk_sketches") {
+        t(s, d, "documents").select(col("doc_id"),
+            posexplode(expr(s"transform(sequence(0, int(floor((length(text)-1)/$chunkSize))), i -> substring(text, i*$chunkSize + 1, $chunkSize))"))
+              .as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx"),
+            graft.functions.GraftFunctions.captionMinhash(col("chunk"), cfg).as("mins"))
+      }
       // NOTE: chunk sketches use the same shingler; merging chunk sketches
       // equals sketching the set-union of chunk shingles (not of the whole
       // undivided text — k-grams crossing chunk borders differ), so the
       // roll-up is verified against the union-of-chunks sketch
-      val chunkSketches = chunks.select(col("doc_id"),
-        graft.functions.GraftFunctions.captionMinhash(col("chunk"), cfg).as("mins"))
       chunkSketches.groupBy(col("doc_id"))
         .agg(graft.functions.MinHashAgg.minhashMerge(col("mins"), cfg).as("merged"))
         .select(col("doc_id"), size(col("merged")).as("n_mins"),
@@ -579,9 +789,7 @@ object Queries {
       graft.functions.GraftExtensions.register(s)
       // blocked by source like d02: the SQL surface demo should not be an
       // unblocked O(n^2) crossJoin at bench scale
-      val sk = t(s, d, "documents").select(col("doc_id"), col("source"),
-        GraftFunctions.captionMinhash(col("text"), docSketch).as("mins"))
-      sk.createOrReplaceTempView("doc_sketches")
+      docSketches(s, d).createOrReplaceTempView("doc_sketches")
       s.sql(
         """SELECT a.doc_id AS a, b.doc_id AS b,
           |  round(graft_jaccard(a.mins, b.mins, 128), 6) AS jac,
@@ -591,6 +799,49 @@ object Queries {
           |WHERE graft_jaccard(a.mins, b.mins, 128) >= 0.5""".stripMargin)
     })
 
+  private val aggAndSqlOracles: Map[String, String] = Map(
+    "d07_sharded_sketch_merge" ->
+      s"""WITH c AS (SELECT doc_id, mins FROM read_parquet(${oraclePath("d07_chunk_sketches")})),
+         |docs AS (SELECT DISTINCT doc_id FROM c),
+         |e AS (SELECT DISTINCT doc_id, unnest(mins) AS m FROM c),
+         |r AS (SELECT doc_id, m,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY (m < 0), m) AS rk
+         |  FROM e),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_mins,
+         |    arg_min(CASE WHEN m < 0 THEN (m::HUGEINT + 18446744073709551616)::VARCHAR
+         |                 ELSE m::VARCHAR END, rk) AS first_min
+         |  FROM r WHERE rk <= 128 GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_mins, 0) AS n_mins,
+         |  coalesce(a.first_min, '') AS first_min
+         |FROM docs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // full replica of the blocked sketch join: combined-denominator
+    // jaccard (num=128) + one-sided containment from the sketch dump
+    "d08_sql_jaccard" ->
+      s"""WITH sk AS (SELECT doc_id, source, mins FROM read_parquet(${oraclePath("doc_sketches")})),
+         |cand AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.mins AS ma, y.mins AS mb
+         |  FROM sk x JOIN sk y ON x.source = y.source AND x.doc_id < y.doc_id),
+         |uni AS (
+         |  SELECT a, b, ma, mb,
+         |    unnest(list_distinct(list_concat(ma, mb))) AS m
+         |  FROM cand),
+         |rk AS (
+         |  SELECT a, b, list_contains(ma, m) AND list_contains(mb, m) AS in_both,
+         |    row_number() OVER (PARTITION BY a, b ORDER BY (m < 0), m) AS r
+         |  FROM uni),
+         |jac AS (
+         |  SELECT a, b,
+         |    count(*) FILTER (WHERE in_both) * 1.0 / greatest(count(*), 1) AS j
+         |  FROM rk WHERE r <= 128 GROUP BY a, b),
+         |cont AS (
+         |  SELECT a, b,
+         |    len(list_intersect(ma, mb)) * 1.0 / greatest(len(ma), 1) AS ct
+         |  FROM cand)
+         |SELECT jac.a, jac.b, round(jac.j, 6) AS jac, round(cont.ct, 6) AS containment
+         |FROM jac JOIN cont ON jac.a = cont.a AND jac.b = cont.b
+         |WHERE jac.j >= 0.5""".stripMargin)
+
   // ================================================================ assembled
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
@@ -599,5 +850,6 @@ object Queries {
 
   val oracles: Map[String, String] =
     relationalOracles ++ dedupOracles ++ textOracles ++ embeddingOracles ++
-      streamingOracles
+      streamingOracles ++ docDedupOracles ++ fingerprintOracles ++
+      aggAndSqlOracles ++ multimodalOracles
 }

@@ -191,6 +191,19 @@ object DedupPipeline {
    */
   def clusters(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),
       cache: CacheHandle = new CacheHandle()): DataFrame = {
+    val (idmap, e) = edges(corpus, cfg, cache)
+    clustersFromEdges(idmap, e, cfg.ccMaxIter)
+  }
+
+  /**
+   * Sketch → exact dedup → LSH → confirm, stopping before clustering.
+   * Returns (idmap, edges): `idmap` = (image_id, vid) for every corpus row,
+   * `edges` = (src, dst) dup edges in vid space (exact + confirmed near).
+   * Exposed so callers can persist/inspect the edge set (e.g. for an
+   * independent connected-components oracle) before clustering.
+   */
+  def edges(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),
+      cache: CacheHandle = new CacheHandle()): (DataFrame, DataFrame) = {
     val sk = sketches(corpus, cfg)
     // one window shuffle tags each row with its exact-group rep; persisted
     // because all four band sources and both confirm sides read it.
@@ -202,13 +215,15 @@ object DedupPipeline {
     val cands = candidates(skReps, cfg)
     val nearEdges = confirm(cands, skReps, cfg)
       .select(col("a").as("src"), col("b").as("dst"))
+    (tagged.select(col("image_id"), col("vid")), exactEdges.union(nearEdges))
+  }
 
-    val edges = exactEdges.union(nearEdges)
-    val nodes = tagged.select(col("vid").as("id"))
-    val labels = ConnectedComponents.labelAll(nodes, edges, cfg.ccMaxIter)
-
-    val idmap = tagged.select(col("image_id"), col("vid").as("id"))
-    val membered = idmap.join(labels.hint("merge"), "id")
+  /** Clustering tail: CC over the edge set + representative relabel. */
+  def clustersFromEdges(idmap: DataFrame, edges: DataFrame, ccMaxIter: Int = 25): DataFrame = {
+    val nodes = idmap.select(col("vid").as("id"))
+    val labels = ConnectedComponents.labelAll(nodes, edges, ccMaxIter)
+    val membered = idmap.select(col("image_id"), col("vid").as("id"))
+      .join(labels.hint("merge"), "id")
       .select(col("image_id"), col("component"))
     val repNames = membered.groupBy(col("component"))
       .agg(min(col("image_id")).as("cluster"), count(lit(1)).as("cluster_size"))
