@@ -548,10 +548,11 @@ object Queries {
     "e02_embedding_pairs" -> { (s, d) =>
       Similarity.bruteForcePairs(t(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.45)
     },
-    // the scale path: random-hyperplane LSH buckets + exact confirm
+    // the scale path: random-hyperplane LSH buckets (multi-probe,
+    // data-adaptive key width) + exact confirm
     "e03_embedding_lsh_pairs" -> { (s, d) =>
       Similarity.lshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        minCos = 0.45, dim = 64, nPlanes = 6, nTables = 8, maxBucket = 512)
+        minCos = 0.45, dim = 64)
     })
 
   private val embeddingOracles: Map[String, String] = Map(
@@ -568,6 +569,17 @@ object Queries {
         |  FROM pairs)
         |SELECT vec_id, neighbor, cos, rk FROM ranked WHERE rk <= 5""".stripMargin,
     "e02_embedding_pairs" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_dot_product(a.e, b.e) /
+        |    sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.e, b.e) /
+        |  sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) >= 0.45""".stripMargin,
+    // e03's gate is the SAME exact-pair set as the brute-force oracle:
+    // the multi-probe LSH path must reach recall 1.0 at validation scale
+    // (any missed pair fails the row-count/hash compare)
+    "e03_embedding_lsh_pairs" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         |SELECT a.vec_id AS a, b.vec_id AS b,
         |  round(list_dot_product(a.e, b.e) /
@@ -742,6 +754,46 @@ object Queries {
       }
     })
 
+  /**
+   * Literal oracles for the fixed reference fixtures: the expected rows
+   * are constants derived INDEPENDENTLY of the engine — md5sums are the
+   * fixture's own stored values (reference-computed), sm02's counts are
+   * the reference's golden test expectations
+   * (`/root/reference/src/index/sbt.rs:526-590`), and sm04's scores were
+   * recomputed from the fixture JSON with a standalone implementation of
+   * the combined-denominator compare. m03's stage rows are deterministic
+   * for the fixed synthetic corpus (n=2000, seed 42).
+   */
+  private val sourmashOracles: Map[String, String] = Map(
+    "sm01_signature_load" ->
+      """SELECT * FROM (VALUES
+        |  ('s10+s11', 21, true,  500, '93d5d09abf399740a4506310680eb62c', '93d5d09abf399740a4506310680eb62c', true, 500),
+        |  ('s10+s11', 21, false, 500, '8a619747693c045afde376263841806b', '8a619747693c045afde376263841806b', true, 500),
+        |  ('s10+s11', 30, true,  500, '819dd371bf41739a1b158582d5a04b45', '819dd371bf41739a1b158582d5a04b45', true, 500),
+        |  ('s10+s11', 30, false, 500, '19ac462374cc8af809416aa72cbdb8d3', '19ac462374cc8af809416aa72cbdb8d3', true, 500)
+        |) AS t(name, ksize, is_protein, num, md5sum, md5_recomputed, md5_ok, n_mins)""".stripMargin,
+    "sm02_linear_search" ->
+      """SELECT * FROM (VALUES
+        |  ('similarity',  0.5, 1), ('similarity',  0.1, 2),
+        |  ('containment', 0.5, 2), ('containment', 0.1, 4)
+        |) AS t(mode, threshold, n_matches)""".stripMargin,
+    "sm03_signature_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('s10+s11', 21, true,  true, true), ('s10+s11', 21, false, true, true),
+        |  ('s10+s11', 30, true,  true, true), ('s10+s11', 30, false, true, true)
+        |) AS t(name, ksize, is_protein, md5_ok, mins_ok)""".stripMargin,
+    "sm04_search_topn" ->
+      """SELECT * FROM (VALUES
+        |  ('SRR2060939_1.fastq.gz', 1.0),
+        |  ('SRR2060939_2.fastq.gz', 0.356),
+        |  ('SRR2255622_1.fastq.gz', 0.086)
+        |) AS t(filename, score)""".stripMargin,
+    "m03_checkpointed_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('sketches', 2000), ('exact_tagged', 2000), ('exact_edges', 23),
+        |  ('candidates', 9575), ('near_edges', 79), ('clusters', 2000)
+        |) AS t(stage, rows_out)""".stripMargin)
+
   // ================================================================ agg + sql surface
 
   private val aggAndSql: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -851,5 +903,5 @@ object Queries {
   val oracles: Map[String, String] =
     relationalOracles ++ dedupOracles ++ textOracles ++ embeddingOracles ++
       streamingOracles ++ docDedupOracles ++ fingerprintOracles ++
-      aggAndSqlOracles ++ multimodalOracles
+      aggAndSqlOracles ++ multimodalOracles ++ sourmashOracles
 }

@@ -33,6 +33,10 @@ class QueriesSpec extends AnyFunSuite {
     val lsh = SparkEntry.queries("e03_embedding_lsh_pairs")(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(brute), s"LSH produced non-brute pairs: ${lsh -- brute}")
+    // hard recall gate: multi-probe LSH must find ≥90% of the true pairs
+    // (the sf0.01 oracle additionally requires exact equality there)
+    assert(lsh.size >= math.ceil(brute.size * 0.9),
+      s"e03 recall ${lsh.size}/${brute.size} below 0.9")
     info(s"e03 recall vs brute force: ${lsh.size}/${brute.size}")
   }
 
