@@ -13,9 +13,7 @@ Test / fork := true
 run / fork := true
 // Pass forked-run output through verbatim (no sbt `[info]`/`[error]`
 // decoration): the bench/verify drivers parse bare JSON lines from stdout.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

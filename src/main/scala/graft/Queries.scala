@@ -667,24 +667,53 @@ object Queries {
   // ================================================================ st: structured streaming
 
   private val streaming: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // the q09 aggregation re-expressed as a Structured Streaming query
-    // (readStream → watermark+window → memory sink), batch-equivalent
+    // the q09 aggregation re-expressed as a Structured Streaming query:
+    // readStream → watermark + window → APPEND mode to a parquet file sink
+    // (the scale pattern — state is evicted as the watermark passes each
+    // window; nothing accumulates on the driver). A finite file stream
+    // never advances the watermark past its last window, so two sentinel
+    // files (3h/4h beyond max event time, one per micro-batch via
+    // maxFilesPerTrigger=1) push the watermark over every real window;
+    // sentinel rows are filtered from the result.
     "st01_stream_hourly" -> { (s, d) =>
-      val schema = t(s, d, "events").schema
-      val name = s"st01_out_${System.nanoTime()}"
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val events = t(s, d, "events")
+      val schema = events.schema
+      val inDir = Files.createTempDirectory("st01_in")
+      val outDir = Files.createTempDirectory("st01_out").toString
+      val ckpt = Files.createTempDirectory("st01_ckpt").toString
+      // batch 1: the real events (one file = one micro-batch)
+      Files.copy(Paths.get(s"$d/events.parquet"), inDir.resolve("b1.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      // sentinels: same schema, event_type '__sentinel', ts beyond max+watermark
+      val maxTs = events.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+      for ((hrs, i) <- Seq(3, 4).zipWithIndex) {
+        val tmp = Files.createTempDirectory(s"st01_s$i").toString
+        events.limit(1)
+          .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + hrs * 3600 * 1000L))
+            .cast(schema("ts").dataType))
+          .withColumn("event_type", lit("__sentinel"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(s"b${i + 2}.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
+      }
       val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
         .withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
           col("event_type"), col("n"))
-        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
       q.processAllAvailable()
       q.stop()
-      s.table(name)
+      s.read.parquet(outDir).where(col("event_type") =!= "__sentinel")
     })
 
   private val streamingOracles: Map[String, String] = Map(

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/**
+ * OXLI nodegraph (Bloom filter) binary reader/writer — reference S7/S8
+ * (`/root/reference/src/index/nodegraph.rs:92-184`): magic "OXLI",
+ * version 4, ht_type 2, little-endian ksize/occupied/tablesizes, then one
+ * LSB-first bitset per table (`tablesize/8 + 1` bytes each).
+ *
+ * Membership = bit set in ALL tables at `hash mod tablesize` with
+ * UNSIGNED 64-bit remainder (`nodegraph.rs:51-59`). The Bloom's engine
+ * role (SBT node pruning) is replaced by LSH banding in this engine
+ * (SURVEY.md §2.1 S5); this reader exists for reference-fixture parity:
+ * the `internal.N` fixtures carry the reference's golden membership and
+ * recombination (`update`) test vectors.
+ *
+ * @param ksize        k-mer size the graph was built with
+ * @param occupiedBins occupancy metadata as stored (khmer-compatible)
+ * @param tableSizes   prime table sizes, one per Bloom table
+ * @param tables       bit tables, LSB-first within each byte
+ */
+final case class Nodegraph(
+    ksize: Int,
+    occupiedBins: Long,
+    tableSizes: Array[Long],
+    tables: Array[java.util.BitSet]) {
+
+  /** Bloom membership: 1 if `hash` maps to a set bit in every table, else 0
+    * (`nodegraph.rs:51-59`). */
+  def get(hash: Long): Int = {
+    var t = 0
+    while (t < tables.length) {
+      val bin = java.lang.Long.remainderUnsigned(hash, tableSizes(t))
+      if (!tables(t).get(bin.toInt)) return 0
+      t += 1
+    }
+    1
+  }
+
+  /** Insert; returns true when the hash set at least one new bit in every
+    * table (the reference's is_new_kmer, `nodegraph.rs:33-48`). */
+  def count(hash: Long): Boolean = {
+    var isNew = false
+    var t = 0
+    while (t < tables.length) {
+      val bin = java.lang.Long.remainderUnsigned(hash, tableSizes(t)).toInt
+      if (!tables(t).get(bin)) { tables(t).set(bin); isNew = true }
+      t += 1
+    }
+    isNew
+  }
+
+  /** Bitwise union with a same-shape graph (`nodegraph.rs:61-89`). */
+  def update(other: Nodegraph): Unit = {
+    require(tableSizes.sameElements(other.tableSizes), "incompatible tablesizes")
+    var t = 0
+    while (t < tables.length) { tables(t).or(other.tables(t)); t += 1 }
+  }
+
+  /** Bloom Jaccard: Σ intersection bits / Σ union bits (`nodegraph.rs:199-214`). */
+  def similarity(other: Nodegraph): Double = {
+    var inter = 0L
+    var union = 0L
+    var t = 0
+    while (t < tables.length) {
+      val a = tables(t).clone().asInstanceOf[java.util.BitSet]
+      a.and(other.tables(t))
+      inter += a.cardinality()
+      val u = tables(t).clone().asInstanceOf[java.util.BitSet]
+      u.or(other.tables(t))
+      union += u.cardinality()
+      t += 1
+    }
+    inter.toDouble / union.toDouble
+  }
+
+  /** Bloom containment: Σ intersection bits / Σ table sizes (`nodegraph.rs:216-224`). */
+  def containment(other: Nodegraph): Double = {
+    var inter = 0L
+    var t = 0
+    while (t < tables.length) {
+      val a = tables(t).clone().asInstanceOf[java.util.BitSet]
+      a.and(other.tables(t))
+      inter += a.cardinality()
+      t += 1
+    }
+    inter.toDouble / tableSizes.sum.toDouble
+  }
+
+  /** Serialize in the OXLI v4 layout (`nodegraph.rs:98-128`): byte-exact
+    * round-trip with the reference fixtures (prime tablesizes). */
+  def toBytes: Array[Byte] = {
+    val nBytes = tableSizes.map(s => (s / 8 + 1).toInt)
+    val total = 4 + 1 + 1 + 4 + 1 + 8 + tableSizes.length * 8 + nBytes.sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("OXLI".getBytes("US-ASCII"))
+    bb.put(4.toByte).put(2.toByte)
+    bb.putInt(ksize)
+    bb.put(tables.length.toByte)
+    bb.putLong(occupiedBins)
+    var t = 0
+    while (t < tables.length) {
+      bb.putLong(tableSizes(t))
+      val raw = tables(t).toByteArray // LSB-first, possibly short
+      bb.put(raw)
+      var pad = nBytes(t) - raw.length
+      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      t += 1
+    }
+    bb.array()
+  }
+}
+
+object Nodegraph {
+
+  /** Parse the OXLI v4 ht_type 2 layout (`nodegraph.rs:130-178`). */
+  def fromBytes(data: Array[Byte]): Nodegraph = {
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    require(new String(magic, "US-ASCII") == "OXLI", "bad magic")
+    require(bb.get() == 4, "unsupported version")
+    require(bb.get() == 2, "unsupported ht_type")
+    val ksize = bb.getInt()
+    val nTables = bb.get() & 0xff
+    val occupied = bb.getLong()
+    val sizes = new Array[Long](nTables)
+    val tables = new Array[java.util.BitSet](nTables)
+    var t = 0
+    while (t < nTables) {
+      val size = bb.getLong()
+      sizes(t) = size
+      val nBytes = (size / 8 + 1).toInt
+      val raw = new Array[Byte](nBytes)
+      bb.get(raw)
+      tables(t) = java.util.BitSet.valueOf(raw)
+      t += 1
+    }
+    Nodegraph(ksize, occupied, sizes, tables)
+  }
+
+  def fromPath(path: String): Nodegraph =
+    fromBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  /** Empty graph with the given table sizes (`nodegraph.rs:20-32`). */
+  def empty(tableSizes: Array[Long], ksize: Int): Nodegraph =
+    Nodegraph(ksize, 0L, tableSizes,
+      tableSizes.map(s => new java.util.BitSet(s.toInt)))
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/**
+ * Reference-fixture parity for the OXLI nodegraph reader — ports the
+ * reference's own test layer (`/root/reference/src/index/nodegraph.rs:236-321`):
+ * golden tablesizes + membership, byte-exact save/load round-trip, and the
+ * child-union-equals-parent recombination test. The SBT-root test derives
+ * its goldens independently: a Bloom filter can have no false negatives,
+ * so every leaf hash of the v5 tree must be present in the root node.
+ */
+class NodegraphSpec extends AnyFunSuite {
+
+  private val data = "/root/reference/tests/data"
+  private def available = new java.io.File(s"$data/internal.0").isFile
+
+  test("golden load: tablesizes and membership (nodegraph.rs:303-321)") {
+    assume(available)
+    val ng = Nodegraph.fromPath(s"$data/internal.0")
+    assert(ng.tableSizes.toSeq == Seq(99991L, 99989L, 99971L, 99961L))
+    assert(ng.get(1877811740L) == 0) // the one golden absent hash
+    // first golden present hashes from the reference test
+    for (h <- Seq(1877811749L, 1339603207230L, 5641354835174L, 10502027926594L,
+        11550845136154L, 12183113567732L, 14062071191653L, 14580861632266L,
+        18722876140337L, 20714320729467L, 22732389403804L, 24134363957219L,
+        30606147678309L, 30841792132441L, 31130970675642L))
+      assert(ng.get(h) == 1, s"hash $h should be present")
+  }
+
+  test("byte-exact save/load round-trip (nodegraph.rs:255-277)") {
+    assume(available)
+    val orig = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$data/internal.0"))
+    val ng = Nodegraph.fromBytes(orig)
+    assert(ng.toBytes.sameElements(orig))
+  }
+
+  test("recombination: union of children equals parent (nodegraph.rs:279-301)") {
+    assume(available)
+    val parent = Nodegraph.fromPath(s"$data/internal.0")
+    val ng = Nodegraph.empty(Array(99991L, 99989L, 99971L, 99961L), 1)
+    ng.update(Nodegraph.fromPath(s"$data/internal.1"))
+    ng.update(Nodegraph.fromPath(s"$data/internal.2"))
+    assert(ng.tables.toSeq == parent.tables.toSeq)
+  }
+
+  test("count/get property: inserted hashes are members (nodegraph.rs:236-243)") {
+    val ng = Nodegraph.empty(Array(10L), 3)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val h = rnd.nextLong()
+      ng.count(h)
+      assert(ng.get(h) == 1)
+    }
+  }
+
+  test("SBT v5 root bloom has no false negatives over all leaf hashes") {
+    assume(new java.io.File(s"$data/.sbt.v5/internal.0").isFile)
+    val spark = graft.operators.SparkTestSession.spark
+    val root = Nodegraph.fromPath(s"$data/.sbt.v5/internal.0")
+    val leaves = SignatureJson.read(spark, s"$data/.sbt.v5/*")
+      .where(col("ksize") === 31 && col("md5sum") =!= "")
+      .select(col("mins")).collect().flatMap(_.getSeq[Long](0))
+    assert(leaves.length >= 3000, s"expected >= 3000 leaf hashes, got ${leaves.length}")
+    val missing = leaves.filterNot(h => root.get(h) == 1)
+    assert(missing.isEmpty, s"${missing.length} leaf hashes absent from root bloom")
+  }
+}
