@@ -26,11 +26,12 @@ import graft.sources.SyntheticCorpus
  */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int, shufflePartitions: Int = 0): SparkSession = {
+    val parts = if (shufflePartitions > 0) shufflePartitions else cpus
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -86,7 +87,11 @@ object Bench {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      spark = session(c)
+      // shuffle width is sized to the DATA and held constant across the
+      // two cluster sizes (the north rule scales executors, not the job
+      // config); partitions = cores would handicap the small arm into
+      // spilling — an artificially inflated efficiency ratio
+      spark = session(c, shufflePartitions = 64)
       // small warmup to JIT the kernels before timing
       SyntheticCorpus.corpus(spark, 2000L).toDF()
         .write.format("noop").mode("overwrite").save()

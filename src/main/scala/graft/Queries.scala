@@ -643,6 +643,15 @@ object Queries {
     })
 
   private val multimodalOracles: Map[String, String] = Map(
+    // deterministic decode statistics of the fixed synthetic corpus
+    // (n=5000, seed 42): one row per container format incl. the real PNG
+    // decode path — regression-frozen constants
+    "m02_image_decode_stats" ->
+      """SELECT * FROM (VALUES
+        |  ('ppm', 4929, 87, 169, 4749),
+        |  ('ppmq', 32, 100, 149, 32),
+        |  ('png', 39, 110, 152, 39)
+        |) AS t(fmt, n, min_mean_px, max_mean_px, n_phash)""".stripMargin,
     // clustering tail replicated as a recursive transitive closure over
     // the dumped edge set, then min-image_id relabel + component sizes
     "m01_corpus_dedup_clusters" ->
@@ -819,8 +828,8 @@ object Queries {
         |) AS t(filename, score)""".stripMargin,
     "m03_checkpointed_lineage" ->
       """SELECT * FROM (VALUES
-        |  ('sketches', 2000), ('exact_tagged', 2000), ('exact_edges', 23),
-        |  ('candidates', 9575), ('near_edges', 79), ('clusters', 2000)
+        |  ('sketches', 2000), ('exact_tagged', 2000), ('exact_edges', 14),
+        |  ('candidates', 9669), ('near_edges', 87), ('clusters', 2000)
         |) AS t(stage, rows_out)""".stripMargin)
 
   // ================================================================ agg + sql surface

@@ -31,10 +31,29 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // The initial checkpoint drags the caller's WHOLE upstream plan with
+    // it (sketching, banding, confirm at corpus scale) — it must run
+    // under the session's own parallelism and AQE settings.
     var e = edges.select($"src", $"dst").where($"src" =!= $"dst")
       .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
+
+    // From here on, per-round data (the edge set) is orders of magnitude
+    // smaller than the corpus, but each round is a chain of tiny shuffles:
+    // under AQE every query stage materializes as its own job, so a round
+    // costs 4-6 driver scheduling barriers — a pure serial term that
+    // dominates the pipeline's scaling efficiency. Run the loop with AQE
+    // off and a small fixed shuffle width (one pipelined job per round);
+    // restore the session confs after. On a real cluster with huge edge
+    // sets, callers raise spark.sql.shuffle.partitions before the loop.
+    val conf = spark.conf
+    val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions",
+      math.min(8, partsBefore.toInt).max(1).toString)
+    try {
 
     var iter = 0
     var converged = false
@@ -80,19 +99,28 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
     val labels = e.select($"dst".as("id"), $"src".as("component"))
       .union(e.select($"src".as("id"), $"src".as("component")))
       .groupBy($"id").agg(min($"component").as("component"))
-    labels
+    labels.localCheckpoint(true)
+
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
   }
 
   /**
-   * Label every node in `nodes` (single Long column `id`): nodes absent
-   * from any edge become singleton components (component = own id).
+   * Label every node in `nodes` (single Long column `id`, caller
+   * guarantees distinct): nodes absent from any edge become singleton
+   * components (component = own id). The label side is a materialized
+   * edge-endpoint set — much smaller than `nodes` — so the join is left
+   * to AQE, which broadcasts it from runtime statistics (static
+   * auto-broadcast stays off: sizes derived from UDF plans are garbage).
    */
   def labelAll(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
     val lbl = run(edges, maxIter)
-    nodes.select($"id").distinct()
-      .join(lbl.hint("merge"), Seq("id"), "left")
+    nodes.select($"id")
+      .join(lbl, Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("component"))
   }
 }

@@ -218,16 +218,24 @@ object DedupPipeline {
     (tagged.select(col("image_id"), col("vid")), exactEdges.union(nearEdges))
   }
 
-  /** Clustering tail: CC over the edge set + representative relabel. */
+  /** Clustering tail: CC over the edge set + representative relabel.
+    * The relabel is ONE window pass over `component` (min image_id +
+    * count in the same partitioning) instead of groupBy + join-back —
+    * one shuffle instead of two plus a join. The label join itself is
+    * runtime-broadcast by AQE (labels cover edge endpoints only). */
   def clustersFromEdges(idmap: DataFrame, edges: DataFrame, ccMaxIter: Int = 25): DataFrame = {
-    val nodes = idmap.select(col("vid").as("id"))
-    val labels = ConnectedComponents.labelAll(nodes, edges, ccMaxIter)
-    val membered = idmap.select(col("image_id"), col("vid").as("id"))
-      .join(labels.hint("merge"), "id")
-      .select(col("image_id"), col("component"))
-    val repNames = membered.groupBy(col("component"))
-      .agg(min(col("image_id")).as("cluster"), count(lit(1)).as("cluster_size"))
-    membered.join(repNames.hint("merge"), "component")
+    // raw CC labels cover edge endpoints only (≪ corpus); rows without a
+    // label are singleton clusters — ONE broadcastable left join labels
+    // the whole corpus (labelAll would join the full node set twice)
+    val labels = ConnectedComponents.run(edges, ccMaxIter)
+      .select(col("id").as("vid"), col("component"))
+    val membered = idmap.join(labels, Seq("vid"), "left")
+      .select(col("image_id"),
+        coalesce(col("component"), col("vid")).as("component"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    membered
+      .withColumn("cluster", min(col("image_id")).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
       .select(col("image_id"), col("cluster"), col("cluster_size"))
   }
 }

@@ -48,15 +48,16 @@ object Lsh {
     val spark = banded.sparkSession
     import spark.implicits._
 
-    val sizes = banded.groupBy($"bandKey")
-      .agg(count(lit(1)).as("bn"), min($"cap").as("bcap"))
-      .where($"bn" >= 2 && $"bn" <= $"bcap")
-    // partitioned by bandKey from the groupBy above; the join and the
-    // next groupBy reuse that partitioning (no extra shuffle)
-    // shuffle-hash hint: both sides are huge at scale and the size-filter
-    // side's Catalyst estimate is unreliable (UDF-derived) — never let a
-    // static mis-estimate plan a driver-side broadcast here
-    val kept = banded.join(sizes.select($"bandKey").hint("merge"), "bandKey")
+    // Bucket-size gating as a WINDOW over the bucket key: one shuffle of
+    // the exploded band table, inside which the count, the size filter,
+    // and the member grouping all happen (the former sizes-aggregate +
+    // semi-join formulation scanned and shuffled the band table twice).
+    // Oversize buckets still never materialize as arrays: the filter runs
+    // before `collect_list`, and WindowExec's buffer is spill-safe.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"bandKey")
+    val kept = banded
+      .withColumn("bn", count(lit(1)).over(w))
+      .where($"bn" >= 2 && $"bn" <= $"cap")
 
     val isLong = banded.schema("id").dataType ==
       org.apache.spark.sql.types.LongType

@@ -44,11 +44,52 @@ object ImageCodec {
 
   final case class Decoded(rgb: Array[Byte], w: Int, h: Int)
 
-  /** Decode `ppm`/`ppmq` bytes. Returns None for unknown formats (the
-    * multimodal stub path handles those). */
+  /** Decode image bytes by format: `ppm`/`ppmq` via the native parser,
+    * `png`/`bmp`/`gif` via `javax.imageio` (real container decoders).
+    * Returns None for unknown formats (the multimodal stub path handles
+    * those — a real deployment plugs its decoder there). */
   def decode(bytes: Array[Byte], fmt: String): Option[Decoded] = fmt match {
     case "ppm" | "ppmq" => decodePpm(bytes)
+    case "png" | "bmp" | "gif" => decodeImageIo(bytes)
     case _ => None
+  }
+
+  /** Decode via ImageIO (PNG/BMP/GIF ship with the JDK). */
+  def decodeImageIo(bytes: Array[Byte]): Option[Decoded] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          rgb(i * 3) = ((px(i) >> 16) & 0xff).toByte
+          rgb(i * 3 + 1) = ((px(i) >> 8) & 0xff).toByte
+          rgb(i * 3 + 2) = (px(i) & 0xff).toByte
+          i += 1
+        }
+        Some(Decoded(rgb, w, h))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Encode interleaved RGB pixels as PNG (lossless: decode is byte-exact). */
+  def encodePng(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      px(i) = ((rgb(i * 3) & 0xff) << 16) | ((rgb(i * 3 + 1) & 0xff) << 8) | (rgb(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   def decodePpm(bytes: Array[Byte]): Option[Decoded] = {

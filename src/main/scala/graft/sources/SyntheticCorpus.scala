@@ -40,6 +40,9 @@ final case class DupLabel(dup_id: String, src_id: String, kind: String)
  *  - `caption`  — one caption word substituted (caught by caption MinHash/SimHash)
  *  - `capsub`   — caption truncated to a prefix substring (caught by the
  *                 containment/substring pass)
+ *  - `pngenc`   — same pixels re-encoded through a real PNG container
+ *                 (different bytes, identical decoded pixels: caught by
+ *                 the decode→sketch path, not by byte hashing)
  */
 object SyntheticCorpus {
 
@@ -122,7 +125,7 @@ object SyntheticCorpus {
   /** Number of base (original) rows for a total row count. */
   def nBase(nTotal: Long): Long = (nTotal * (1.0 - DUP_FRACTION)).toLong
 
-  private val dupKinds = Array("exact", "noise", "reencode", "caption", "capsub")
+  private val dupKinds = Array("exact", "noise", "reencode", "caption", "capsub", "pngenc")
 
   /** Dup plan for a dup row id (id >= nBase): (srcId, kind). */
   def dupPlan(id: Long, nBaseRows: Long): (Long, String) = {
@@ -175,6 +178,9 @@ object SyntheticCorpus {
           val keep = math.max(5, words.length - 1 - r.nextInt(3))
           ImageRow(s"img_$id", ImageCodec.encodePpm(rgb0, W, H), W, H, "ppm",
             words.take(keep).mkString(" "), ImageCodec.phash64(rgb0, W, H))
+        case "pngenc" =>
+          ImageRow(s"img_$id", ImageCodec.encodePng(rgb0, W, H), W, H, "png",
+            cap0, ImageCodec.phash64(rgb0, W, H))
       }
     }
   }

@@ -45,6 +45,13 @@ class PipelineSpec extends AnyFunSuite {
         // (for dup rows, what the perturbation produced — checked via round-trip)
         val reenc = ImageCodec.encodePpm(dec.rgb, dec.w, dec.h)
         assert(java.util.Arrays.equals(reenc, r.bytes))
+      } else if (r.fmt == "png") {
+        // real PNG container: lossless, so decoded pixels must be
+        // byte-exact vs the SOURCE row's generated pixels
+        val (src, kind) = SyntheticCorpus.dupPlan(id, base)
+        assert(kind === "pngenc")
+        assert(java.util.Arrays.equals(dec.rgb, SyntheticCorpus.genPixels(src)),
+          s"png decode not byte-exact for ${r.image_id}")
       } else {
         // simulated-lossy: decoded pixels vs the SOURCE row's pixels
         val (src, kind) = SyntheticCorpus.dupPlan(id, base)
