@@ -51,6 +51,23 @@ object ScalingProbe {
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
 
+      // stage-level accounting: wall vs summed task time exposes serial
+      // bottlenecks (sum(task)/wall ≈ cores ⇒ parallel; ≪ ⇒ serialized)
+      if (sys.env.get("SPARK_GRAFT_STAGES").contains("1")) {
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+            val taskSum = si.taskMetrics.executorRunTime / 1000.0
+            val gc = si.taskMetrics.jvmGCTime / 1000.0
+            val cpu = si.taskMetrics.executorCpuTime / 1e9
+            if (wall > 0.3)
+              println(f"  stage ${si.stageId}%4d tasks=${si.numTasks}%4d wall=$wall%7.2f run=$taskSum%8.2f cpu=$cpu%8.2f gc=$gc%6.2f  ${si.name.takeWhile(_ != '\n').take(60)}")
+          }
+        })
+      }
+
       // warmup
       SyntheticCorpus.corpus(spark, 2000L).toDF()
         .write.format("noop").mode("overwrite").save()
@@ -63,10 +80,11 @@ object ScalingProbe {
         sec
       }
 
+      val genParts = if (partsOverride > 0) partsOverride else 0
       val t0 = System.nanoTime()
       if (phases) {
         val cfg = DedupConfig()
-        val corpus = SyntheticCorpus.corpus(spark, n).toDF()
+        val corpus = SyntheticCorpus.corpus(spark, n, genParts).toDF()
         phase("gen")(corpus.write.format("noop").mode("overwrite").save())
         val tagged = DedupPipeline.exactDedupWindowed(
           DedupPipeline.sketches(corpus, cfg)).persist()
@@ -87,7 +105,7 @@ object ScalingProbe {
           .write.format("noop").mode("overwrite").save())
       } else {
         val cache = new graft.operators.CacheHandle()
-        DedupPipeline.clusters(SyntheticCorpus.corpus(spark, n).toDF(), cache = cache)
+        DedupPipeline.clusters(SyntheticCorpus.corpus(spark, n, genParts).toDF(), cache = cache)
           .write.format("noop").mode("overwrite").save()
         cache.release()
       }

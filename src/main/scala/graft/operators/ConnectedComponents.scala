@@ -58,26 +58,26 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
     var iter = 0
     var converged = false
     var lastSig: (Long, Long) = (-1L, -1L)
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy($"src")
     while (!converged && iter < maxIter) {
       // ---- large-star: for every node u, connect its larger neighbors to
-      //      m = min(Γ(u) ∪ {u})
+      //      m = min(Γ(u) ∪ {u}). The per-neighborhood minimum is a WINDOW
+      //      over the same src-partitioning the rows need anyway — one
+      //      shuffle instead of the groupBy+join-back formulation's two.
       val bidir = e.union(e.select($"dst".as("src"), $"src".as("dst")))
-      val mins = bidir.groupBy($"src").agg(min($"dst").as("mn"))
-        .select($"src", least($"src", $"mn").as("m"))
-      // no distinct here: small-star's terminal distinct dedups, and the
-      // saved shuffle outweighs the bounded duplicate inflation
-      val ls = bidir.join(mins.hint("merge"), "src")
+      val ls = bidir
+        .withColumn("m", least($"src", min($"dst").over(wSrc)))
         .where($"dst" > $"src")
         .select($"dst".as("src"), $"m".as("dst"))
         .where($"src" =!= $"dst")
 
       // ---- small-star: orient u > v; connect all smaller neighbors and u
-      //      to m = min neighbor
+      //      to m = min neighbor (same window trick; the (src, m) rows are
+      //      emitted per-row with duplicates — the terminal distinct dedups)
       val dir = ls.select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
-      val mins2 = dir.groupBy($"src").agg(min($"dst").as("m"))
-      val ss = dir.join(mins2.hint("merge"), "src")
-        .select($"dst".as("src"), $"m".as("dst"))
-        .union(mins2.select($"src", $"m".as("dst")))
+        .withColumn("m", min($"dst").over(wSrc))
+      val ss = dir.select($"dst".as("src"), $"m".as("dst"))
+        .union(dir.select($"src", $"m".as("dst")))
         .where($"src" =!= $"dst")
         .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
         .distinct()
