@@ -34,6 +34,33 @@ final case class SketchConfig(
   def normalized: SketchConfig = if (maxHash != 0L) copy(num = 0) else this
 }
 
+object SketchConfig {
+
+  /**
+   * `--scaled` → `max_hash` conversion: `max_hash = ⌊2^64 / scaled⌋` as an
+   * unsigned 64-bit value (published sourmash semantics). The REFERENCE
+   * parses `--scaled` but never applies it — the parameter is threaded
+   * into `load_query_signature` and dropped
+   * (`/root/reference/src/lib.rs:593-601`, `src/main.rs:181-185`); this
+   * helper completes the conversion the reference left unimplemented.
+   * scaled = 0 means "not scaled" (max_hash 0, bottom-k mode);
+   * scaled = 1 keeps every hash (max_hash = u64::MAX).
+   */
+  def scaledToMaxHash(scaled: Long): Long = {
+    require(scaled >= 0, "scaled must be >= 0")
+    if (scaled == 0L) 0L
+    else if (scaled == 1L) -1L // u64::MAX
+    else (BigInt(2).pow(64) / scaled).toLong // .toLong wraps bit-faithfully (scaled=2 → 2^63 → Long.MinValue as u64)
+  }
+
+  /** Inverse rendering for reporting: scaled ≈ 2^64 / max_hash. */
+  def maxHashToScaled(maxHash: Long): Long = {
+    if (maxHash == 0L) 0L
+    else if (maxHash == -1L) 1L
+    else (BigInt(2).pow(64) / (BigInt(maxHash) & BigInt("ffffffffffffffff", 16))).toLong
+  }
+}
+
 /**
  * Mutable MinHash sketch builder with the reference's exact `add_hash`
  * semantics (`/root/reference/src/lib.rs:192-245`), including the bottom-k
@@ -134,12 +161,96 @@ object MinHash {
   }
 
   /** Merge-union of two sketches re-truncated to `num` in bottom-k mode —
-    * `merge` (`/root/reference/src/lib.rs:307-403`), abundance quirks
-    * deliberately not replicated (SURVEY.md §7). */
+    * `merge` (`/root/reference/src/lib.rs:307-403`), mins only (the
+    * dedup pipeline does not track abundances). For the full
+    * abundance-carrying semantics see [[mergeWithAbundance]]. */
   def merge(a: Array[Long], b: Array[Long], cfg: SketchConfig): Array[Long] = {
     val u = U64.mergeUnion(a, b)
     if (cfg.num > 0 && u.length >= cfg.num) java.util.Arrays.copyOf(u, cfg.num)
     else u
+  }
+
+  /**
+   * Faithful port of `merge` INCLUDING the abundance handling
+   * (`/root/reference/src/lib.rs:307-403`): abundances are summed on
+   * common hashes and carried through on one-sided ones, in unsigned min
+   * order. The reference's observable quirks are replicated exactly:
+   *
+   *  - in bottom-k mode the MINS are truncated to `num` but the ABUNDS
+   *    are not (`lib.rs:400`, marked "TODO: reduce this one too");
+   *  - the result always carries an abundance vector, even when neither
+   *    input tracked abundances (then it is empty, `lib.rs:392-400`);
+   *  - with mixed tracking, the abundance iterators advance exactly as in
+   *    the reference's nested `if let` chain — e.g. when only `a` tracks
+   *    abundances, common hashes do NOT consume a's abundance entry
+   *    (`lib.rs:358-367`), lagging the stream.
+   *
+   * @param aAbunds abundances parallel to `a` or null when untracked
+   * @return (mergedMins, mergedAbunds)
+   */
+  def mergeWithAbundance(
+      a: Array[Long], aAbunds: Array[Long],
+      b: Array[Long], bAbunds: Array[Long],
+      cfg: SketchConfig): (Array[Long], Array[Long]) = {
+    val mins = new ArrayBuffer[Long](a.length + b.length)
+    val abunds = new ArrayBuffer[Long](a.length + b.length)
+    var si = 0 // index into a (the reference's `self`)
+    var oi = 0 // index into b (`other`)
+    var sa = 0 // abundance cursor for a (lags per the reference quirks)
+    var oa = 0
+    var selfDone = a.isEmpty
+    var broke = false
+    while (!selfDone && !broke) {
+      val value = a(si)
+      if (oi >= b.length) { // other exhausted: flush self incl. current value
+        mins += value
+        var i = si + 1
+        while (i < a.length) { mins += a(i); i += 1 }
+        if (aAbunds != null) {
+          var j = sa
+          while (j < aAbunds.length) { abunds += aAbunds(j); j += 1 }
+        }
+        broke = true
+      } else {
+        val x = b(oi)
+        val c = java.lang.Long.compareUnsigned(x, value)
+        if (c < 0) { // other smaller
+          mins += x
+          oi += 1
+          if (bAbunds != null && oa < bAbunds.length) { abunds += bAbunds(oa); oa += 1 }
+        } else if (c == 0) { // common hash: sum, with the reference's nesting
+          mins += x
+          oi += 1
+          si += 1
+          if (bAbunds != null && oa < bAbunds.length) {
+            val v = bAbunds(oa); oa += 1
+            if (aAbunds != null && sa < aAbunds.length) {
+              val s = aAbunds(sa); sa += 1
+              abunds += v + s
+            }
+          }
+          if (si >= a.length) selfDone = true
+        } else { // self smaller
+          mins += value
+          si += 1
+          if (aAbunds != null && sa < aAbunds.length) { abunds += aAbunds(sa); sa += 1 }
+          if (si >= a.length) selfDone = true
+        }
+      }
+    }
+    if (!broke) { // self exhausted: flush the rest of other
+      var i = oi
+      while (i < b.length) { mins += b(i); i += 1 }
+      if (bAbunds != null) {
+        var j = oa
+        while (j < bAbunds.length) { abunds += bAbunds(j); j += 1 }
+      }
+    }
+    val m = mins.toArray
+    val outMins =
+      if (cfg.num > 0 && m.length >= cfg.num) java.util.Arrays.copyOf(m, cfg.num)
+      else m
+    (outMins, abunds.toArray) // abunds deliberately NOT truncated (lib.rs:400)
   }
 
   /** `count_common` (`/root/reference/src/lib.rs:428-436`). */

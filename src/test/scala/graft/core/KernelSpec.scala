@@ -237,4 +237,67 @@ class KernelSpec extends AnyFunSuite {
     assert(Shingles.normalizeText("  Hello\t WORLD\n ") === "hello world")
     assert(Shingles.tokenize("a  b\tc").toList === List("a", "b", "c"))
   }
+
+  test("mergeWithAbundance: sums common, carries one-sided (lib.rs:307-403)") {
+    val cfg = SketchConfig(num = 0)
+    val (m, ab) = MinHash.mergeWithAbundance(
+      Array(1L, 3L, 5L), Array(2L, 1L, 4L),
+      Array(3L, 6L), Array(10L, 1L), cfg)
+    assert(m.toList === List(1L, 3L, 5L, 6L))
+    assert(ab.toList === List(2L, 11L, 4L, 1L))
+  }
+
+  test("mergeWithAbundance quirk: mins truncated to num, abunds NOT (lib.rs:400)") {
+    val cfg = SketchConfig(num = 3)
+    val (m, ab) = MinHash.mergeWithAbundance(
+      Array(1L, 3L, 5L), Array(2L, 1L, 4L),
+      Array(3L, 6L), Array(10L, 1L), cfg)
+    assert(m.toList === List(1L, 3L, 5L))
+    assert(ab.toList === List(2L, 11L, 4L, 1L)) // longer than mins, as in the reference
+  }
+
+  test("mergeWithAbundance quirk: result has an (empty) abundance vector even untracked") {
+    val (m, ab) = MinHash.mergeWithAbundance(
+      Array(1L, 2L), null, Array(2L, 4L), null, SketchConfig(num = 0))
+    assert(m.toList === List(1L, 2L, 4L))
+    assert(ab.isEmpty)
+  }
+
+  test("mergeWithAbundance quirk: mixed tracking lags self's abundance cursor (lib.rs:358-367)") {
+    // only `a` tracks abundances: the common-hash branch consumes NEITHER
+    // cursor (the reference's nested `if let` short-circuits), so a's
+    // second abundance entry is silently dropped
+    val (m, ab) = MinHash.mergeWithAbundance(
+      Array(1L, 2L), Array(5L, 7L), Array(2L), null, SketchConfig(num = 0))
+    assert(m.toList === List(1L, 2L))
+    assert(ab.toList === List(5L))
+  }
+
+  test("mergeWithAbundance mins agree with merge() on random sketches") {
+    trials(30) { r =>
+      val cfg = SketchConfig(num = 1 + r.nextInt(20))
+      val a = U64.sortedDistinct(Array.fill(r.nextInt(30))(r.nextLong()))
+      val b = U64.sortedDistinct(Array.fill(r.nextInt(30))(r.nextLong()))
+      val (m, _) = MinHash.mergeWithAbundance(
+        a, Array.fill(a.length)(1L), b, Array.fill(b.length)(1L), cfg)
+      assert(m.toList === MinHash.merge(a, b, cfg).toList)
+    }
+  }
+
+  test("scaledToMaxHash: 2^64/scaled as u64 (completes the reference's dropped param)") {
+    assert(SketchConfig.scaledToMaxHash(0L) === 0L)
+    assert(SketchConfig.scaledToMaxHash(1L) === -1L) // u64::MAX
+    assert(SketchConfig.scaledToMaxHash(2L) === Long.MinValue) // 2^63
+    assert(SketchConfig.scaledToMaxHash(1000L) === 18446744073709551L)
+    assert(SketchConfig.maxHashToScaled(SketchConfig.scaledToMaxHash(1000L)) === 1000L)
+    assert(SketchConfig.maxHashToScaled(SketchConfig.scaledToMaxHash(2L)) === 2L)
+    // every kept hash under scaled=1000 is <= maxHash (sampling property)
+    val mh = SketchConfig.scaledToMaxHash(1000L)
+    val cfg = SketchConfig(num = 0, maxHash = mh)
+    val hs = Array.tabulate(5000)(i => Murmur3.hash64(s"tok$i", 42L))
+    val kept = MinHash.sketchHashes(hs, cfg)
+    kept.foreach(h => assert(U64.le(h, mh)))
+    // expected keep rate ~ 1/1000
+    assert(kept.length <= 30, s"kept ${kept.length} of 5000 at scaled=1000")
+  }
 }
