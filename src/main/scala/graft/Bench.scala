@@ -121,17 +121,21 @@ object Bench {
     val samples = Seq(4, 1, 4, 1).map(c => c -> flagship(c))
     val sec4 = samples.collect { case (4, t) => t }.min
     val sec1 = samples.collect { case (1, t) => t }.min
+    // one wider run for the throughput record (not an efficiency arm)
+    val sec16 = flagship(16)
     spark.stop()
 
     val ips1 = n / sec1
     val ips4 = n / sec4
+    val ips16 = n / sec16
     val eff = ips4 / (4.0 * ips1)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val flag = f"""{"rows":$n,"sec_local1":$sec1%.2f,"sec_local4":$sec4%.2f,""" +
-      f""""ips_local1":$ips1%.1f,"ips_local4":$ips4%.1f,"scaling_efficiency":$eff%.3f}"""
+      f""""ips_local1":$ips1%.1f,"ips_local4":$ips4%.1f,"scaling_efficiency":$eff%.3f,""" +
+      f""""sec_local16":$sec16%.2f,"ips_local16":$ips16%.1f}"""
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","flagship":$flag}"""
     // backup channel for the driver: bare file, no log decoration possible
     try {
