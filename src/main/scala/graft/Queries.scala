@@ -725,10 +725,42 @@ object Queries {
       s.read.parquet(outDir).where(col("event_type") =!= "__sentinel")
     })
 
+  /** Streaming DEDUP — the stateful streaming analog of the engine's core
+    * operator: `dropDuplicatesWithinWatermark` keyed on (user_id,
+    * event_type) with a 1-hour event-time watermark, append mode to a
+    * file sink. State evicts as the watermark passes (bounded memory at
+    * scale); within one replay of the finite input this is exactly
+    * distinct-by-key, which the batch oracle checks. Only the key columns
+    * are emitted — the surviving row's other fields depend on arrival
+    * order, which a distributed dedup deliberately does not promise. */
+  private val streamingDedup: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st02_stream_dedup" -> { (s, d) =>
+      import java.nio.file.Files
+      val events = t(s, d, "events")
+      val schema = events.schema
+      val outDir = Files.createTempDirectory("st02_out").toString
+      val ckpt = Files.createTempDirectory("st02_ckpt").toString
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir)
+    })
+
   private val streamingOracles: Map[String, String] = Map(
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st02_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events")
 
   // ================================================================ sm: sourmash signature compatibility (reference fixtures)
 
@@ -936,7 +968,7 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ dedup ++ text ++ docDedup ++ fingerprints ++ embeddings ++
-      multimodal ++ streaming ++ sourmash ++ aggAndSql
+      multimodal ++ streaming ++ streamingDedup ++ sourmash ++ aggAndSql
 
   val oracles: Map[String, String] =
     relationalOracles ++ dedupOracles ++ textOracles ++ embeddingOracles ++
