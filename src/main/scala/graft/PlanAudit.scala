@@ -20,7 +20,8 @@ object PlanAudit {
       SparkEntry.queries(name)(spark, sf).explain("formatted")
     }
     Seq("q01_filter_project", "q02_agg_group", "q03_join_agg",
-      "d04_minhash_jaccard_dedup", "e02_embedding_pairs").foreach(dump)
+      "d03_minhash_lsh_pairs", "d04_minhash_jaccard_dedup",
+      "e02_embedding_pairs", "e03_embedding_lsh_pairs").foreach(dump)
     spark.stop()
   }
 }

@@ -139,7 +139,7 @@ object SignatureJson {
     df.groupBy(col("class"), col("email"), col("hash_function"), col("filename"),
         col("name"), col("license"), col("version"))
       .agg(array_join(collect_list(mhJson), ",").as("sketches"))
-      .select(col("filename"),
+      .select(coalesce(col("filename"), col("name"), lit("unnamed")).as("filename"),
         concat(
           lit("""[{"class":"""), jsonStr(col("class")),
           lit(""","email":"""), jsonStr(col("email")),
@@ -149,5 +149,22 @@ object SignatureJson {
           lit(""","license":"""), jsonStr(col("license")),
           lit(""","signatures":["""), col("sketches"),
           lit("""],"version":"""), col("version"), lit("}]")).as("json"))
+  }
+
+  /**
+   * S6 sink, file form: one `.sig` file per signature group under `dir`.
+   * Writes happen executor-side (`foreachPartition`) — no driver collect,
+   * so a compat export scales with the corpus; on a real cluster `dir`
+   * points at shared storage.
+   */
+  def write(df: DataFrame, dir: String): Unit = {
+    toJson(df).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val name = r.getString(0).replaceAll("[^A-Za-z0-9._+-]", "_")
+        val p = java.nio.file.Paths.get(dir, name + ".sig")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, r.getString(1))
+      }
+    }
   }
 }

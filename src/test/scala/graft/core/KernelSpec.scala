@@ -284,6 +284,28 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeWithAbundance (both tracked) matches a map-union model") {
+    trials(40) { r =>
+      val num = r.nextInt(25) // 0 = unbounded
+      val cfg = SketchConfig(num = num)
+      def mk(): (Array[Long], Array[Long]) = {
+        val m = U64.sortedDistinct(Array.fill(r.nextInt(25))(r.nextLong() >>> r.nextInt(40)))
+        (m, m.map(_ => 1L + r.nextInt(9).toLong))
+      }
+      val (a, aa) = mk()
+      val (b, ba) = mk()
+      val (mins, abunds) = MinHash.mergeWithAbundance(a, aa, b, ba, cfg)
+      // model: map-union with summed multiplicities, unsigned-sorted
+      val model = (a.zip(aa) ++ b.zip(ba)).groupBy(_._1)
+        .map { case (h, vs) => h -> vs.map(_._2).sum }
+      val sortedKeys = U64.sortedDistinct(model.keys.toArray)
+      val wantMins = if (num > 0 && sortedKeys.length >= num) sortedKeys.take(num) else sortedKeys
+      assert(mins.toList === wantMins.toList)
+      // quirk: abunds cover the FULL union, untruncated
+      assert(abunds.toList === sortedKeys.map(model).toList)
+    }
+  }
+
   test("scaledToMaxHash: 2^64/scaled as u64 (completes the reference's dropped param)") {
     assert(SketchConfig.scaledToMaxHash(0L) === 0L)
     assert(SketchConfig.scaledToMaxHash(1L) === -1L) // u64::MAX

@@ -51,6 +51,21 @@ class SignatureSpec extends AnyFunSuite {
     assert(n("containment", 0.1) === 4L)
   }
 
+  test("S6 file sink: write() emits .sig files that re-read identically") {
+    assumeFixtures()
+    val dir = java.nio.file.Files.createTempDirectory("sig_write").toString
+    // the whole v5 leaf corpus: 7 signatures -> 7 files, executor-side
+    val db = SignatureJson.read(spark, s"$refData/.sbt.v5/*")
+    SignatureJson.write(db, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".sig"))
+    assert(files.length === 7)
+    val reread = SignatureJson.read(spark, s"$dir/*.sig")
+      .withColumn("md5r", SignatureJson.computeMd5sum(col("ksize"), col("mins")))
+    assert(reread.count() === 7)
+    reread.collect().foreach(r =>
+      assert(r.getAs[String]("md5sum") === r.getAs[String]("md5r"), r.toString))
+  }
+
   test("add_sequence parity: sketching a DNA string reproduces a stored fixture-style sketch") {
     // build a sketch from sequence through the kernel path and verify the
     // md5sum rule matches a direct recomputation (full S2->K4->K2->S6 chain)
