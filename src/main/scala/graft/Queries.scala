@@ -802,6 +802,28 @@ object Queries {
         }.reduce(_ union _)
       }
     },
+    // Q4/Q5 as a persisted index: build the inverted hash index (the
+    // saved-SBT analog), search through it, reproduce the same golden
+    // counts as the linear scan — the posting pre-filter is exact
+    "sm05_indexed_search" -> { (s, _) =>
+      if (!refExists) s.emptyDataFrame.select()
+      else {
+        val db = SignatureJson.read(s, s"$refData/.sbt.v5/*")
+          .where(col("md5sum") =!= lit(""))
+        val cfg = graft.core.SketchConfig(num = 500, ksize = 31)
+        val query = db.where(col("filename") === "SRR2060939_1.fastq.gz")
+          .select(col("mins")).head().getSeq[Long](0).toArray
+        val idx = s"${derivedDir("sm")}/sig_hash_index.parquet"
+        SignatureSearch.buildIndex(db, idx)
+        val combos = Seq(("similarity", 0.5), ("similarity", 0.1),
+          ("containment", 0.5), ("containment", 0.1))
+        combos.map { case (mode, thr) =>
+          SignatureSearch.indexed(db, idx, query, cfg, thr, mode)
+            .agg(count(lit(1)).as("n_matches"))
+            .select(lit(mode).as("mode"), lit(thr).as("threshold"), col("n_matches"))
+        }.reduce(_ union _)
+      }
+    },
     // S6: serialize → reparse round-trip (writer correctness as a query)
     "sm03_signature_roundtrip" -> { (s, _) =>
       if (!refExists) s.emptyDataFrame.select()
@@ -843,6 +865,11 @@ object Queries {
         |  ('s10+s11', 30, false, 500, '19ac462374cc8af809416aa72cbdb8d3', '19ac462374cc8af809416aa72cbdb8d3', true, 500)
         |) AS t(name, ksize, is_protein, num, md5sum, md5_recomputed, md5_ok, n_mins)""".stripMargin,
     "sm02_linear_search" ->
+      """SELECT * FROM (VALUES
+        |  ('similarity',  0.5, 1), ('similarity',  0.1, 2),
+        |  ('containment', 0.5, 2), ('containment', 0.1, 4)
+        |) AS t(mode, threshold, n_matches)""".stripMargin,
+    "sm05_indexed_search" ->
       """SELECT * FROM (VALUES
         |  ('similarity',  0.5, 1), ('similarity',  0.1, 2),
         |  ('containment', 0.5, 2), ('containment', 0.1, 4)

@@ -39,4 +39,39 @@ object SignatureSearch {
     db.withColumn("score", score(col("mins")))
       .where(col("score") > threshold) // strict >, per the reference
   }
+
+  /**
+   * Persisted inverted hash index over a signature corpus — the
+   * Spark-native stand-in for a saved SBT (`SBT::save/load`,
+   * `/root/reference/src/index/sbt.rs:177-185` stubs): one posting row
+   * per (min hash, signature). At web scale this is a partitioned table
+   * the search side prunes by hash; locally it is a parquet table.
+   */
+  def buildIndex(db: DataFrame, path: String): Unit =
+    db.select(col("filename"), explode(col("mins")).as("h"))
+      .write.mode("overwrite").parquet(path)
+
+  /**
+   * Index-backed search (`SBT::find` re-expressed,
+   * `/root/reference/src/index/sbt.rs:147-175`): both reference
+   * predicates are positive only when the sketches share ≥ 1 hash, so
+   * the posting-list pre-filter is EXACT — no false negatives, the
+   * deterministic counterpart of the Bloom overestimate's no-false-prune
+   * guarantee (`sbt.rs:249-251`). The query's hash list (≤ num entries)
+   * broadcasts; only candidate signatures are scored with the exact
+   * kernel. Results are identical to [[linear]] for any threshold > 0.
+   */
+  def indexed(db: DataFrame, indexPath: String, queryMins: Array[Long],
+      cfg: SketchConfig, threshold: Double, mode: String): DataFrame = {
+    val spark = db.sparkSession
+    import spark.implicits._
+    require(threshold > 0.0,
+      "indexed search requires a positive threshold (zero-overlap rows score 0)")
+    val qdf = queryMins.toSeq.toDF("h")
+    val cands = spark.read.parquet(indexPath)
+      .join(broadcast(qdf), "h") // postings pruned by the tiny query hash set
+      .select(col("filename")).distinct()
+    linear(db.join(broadcast(cands), Seq("filename"), "left_semi"),
+      queryMins, cfg, threshold, mode)
+  }
 }

@@ -51,6 +51,24 @@ class SignatureSpec extends AnyFunSuite {
     assert(n("containment", 0.1) === 4L)
   }
 
+  test("indexed search equals linear search on the v5 fixture (no false negatives)") {
+    assumeFixtures()
+    val db = SignatureJson.read(spark, s"$refData/.sbt.v5/*").where(col("md5sum") =!= "")
+    val cfg = SketchConfig(num = 500, ksize = 31)
+    val query = db.where(col("filename") === "SRR2060939_1.fastq.gz")
+      .select(col("mins")).head().getSeq[Long](0).toArray
+    val idx = java.nio.file.Files.createTempDirectory("sig_idx").toString + "/idx.parquet"
+    SignatureSearch.buildIndex(db, idx)
+    for ((mode, thr) <- Seq(("similarity", 0.5), ("similarity", 0.1),
+        ("containment", 0.5), ("containment", 0.1), ("similarity", 0.05))) {
+      val lin = SignatureSearch.linear(db, query, cfg, thr, mode)
+        .select("filename").collect().map(_.getString(0)).toSet
+      val viaIdx = SignatureSearch.indexed(db, idx, query, cfg, thr, mode)
+        .select("filename").collect().map(_.getString(0)).toSet
+      assert(viaIdx === lin, s"$mode@$thr")
+    }
+  }
+
   test("S6 file sink: write() emits .sig files that re-read identically") {
     assumeFixtures()
     val dir = java.nio.file.Files.createTempDirectory("sig_write").toString
