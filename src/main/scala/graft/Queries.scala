@@ -134,6 +134,58 @@ object Queries {
       t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    },
+    // bucketed co-located join: both sides written bucketBy the join key,
+    // so the join plans with ZERO exchanges — at 100 TB this turns the
+    // recurring fact-to-fact join from the dominant shuffle into a local
+    // merge per bucket (the table write amortizes across every later join)
+    "q10_bucketed_join" -> { (s, d) =>
+      val leaf = new java.io.File(d).getName
+      def ensure(name: String, df: => DataFrame, key: String): String = {
+        val tbl = s"graft_${leaf}_$name".replace(".", "_")
+        if (!s.catalog.tableExists(tbl)) {
+          // the in-memory catalog forgets tables across sessions but the
+          // warehouse directory persists — clear a stale location first
+          val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+          val loc = new java.io.File(wh, tbl)
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete()
+            }
+            rm(loc)
+          }
+          df.write.bucketBy(16, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+        }
+        tbl
+      }
+      val o = ensure("orders_b", t(s, d, "orders"), "o_custkey")
+      val c = ensure("customer_b", t(s, d, "customer"), "c_custkey")
+      // force the merge join (at validation scale the planner would
+      // broadcast the small side and never exercise the bucketed path;
+      // at 100 TB both sides are fact-scale and merge is the plan):
+      // bucketed on both sides ⇒ NO exchange before the join (a
+      // per-bucket sort remains while buckets span multiple files)
+      s.table(o).join(s.table(c).hint("merge"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+    },
+    // salted two-phase aggregation: a heavily-skewed groupBy key (few
+    // distinct event types over many rows) is salted into 16 subkeys for
+    // the partial pass, then re-aggregated — no single reducer ever sees
+    // a whole hot key's rows. Sums run in DECIMAL so the two-phase
+    // regrouping is exact (a double sum would be summation-order-
+    // sensitive and could diverge from the oracle).
+    "q11_salted_skew_agg" -> { (s, d) =>
+      val salted = t(s, d, "events")
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,2)")).as("psum"))
+      salted.groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"),
+          // exact decimal sum, rendered as double for the compare
+          sum(col("psum")).cast("decimal(18,2)").cast("double").as("sum_value"))
     })
 
   private val relationalOracles: Map[String, String] = Map(
@@ -181,7 +233,15 @@ object Queries {
     "q09_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q10_bucketed_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders, max(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
+    "q11_salted_skew_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin)
 
   // ================================================================ d: dedup family
 
