@@ -257,11 +257,13 @@ object Queries {
     // boilerplate gram appearing in every doc of a source would otherwise
     // produce |docs|² rows in its join group — the classic web-scale
     // stopword blowup. Jaccard is therefore over the rare-gram sets
-    // (df ≤ 200), consistently in sizes and intersection (and mirrored in
-    // the oracle). The df filter reuses the (source, gram) partitioning of
-    // its own groupBy, so it costs no extra shuffle over the join.
+    // (df ≤ 64 — the same hot-group bound as the LSH bucket cap; a gram
+    // in more docs than that is boilerplate, not evidence), consistently
+    // in sizes and intersection (and mirrored in the oracle). The df
+    // filter reuses the (source, gram) partitioning of its own groupBy,
+    // so it costs no extra shuffle over the join.
     "d02_ngram_jaccard" -> { (s, d) =>
-      val dfMax = 200
+      val dfMax = 64
       val docs = t(s, d, "documents").where(length(col("text")) >= 3)
       val allGrams = docs.select(col("doc_id"), col("source"),
           explode(expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")).as("gram"))
@@ -295,7 +297,7 @@ object Queries {
         |  SELECT DISTINCT doc_id, source, substr(text, i::INT, 3) AS gram FROM pos
         |), grams AS (
         |  SELECT doc_id, source, gram FROM all_grams
-        |  QUALIFY count(*) OVER (PARTITION BY source, gram) <= 200
+        |  QUALIFY count(*) OVER (PARTITION BY source, gram) <= 64
         |), sizes AS (
         |  SELECT doc_id, count(*) AS n FROM grams GROUP BY 1
         |), common AS (
