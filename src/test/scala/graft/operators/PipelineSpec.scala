@@ -92,6 +92,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(labels(99L) === 99L) // singleton
   }
 
+  test("connected components: random graphs match a union-find model") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60 + rnd.nextInt(80)
+      val edges = Seq.fill(n)( (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) )
+      // union-find model
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val model = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = ConnectedComponents.labelAll(
+          (0L until n.toLong).toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // components must partition identically AND use the min-id label
+      (0 until n).foreach { i =>
+        assert(got(i.toLong) === model(i.toLong), s"trial $trial node $i")
+      }
+    }
+  }
+
   test("connected components: adversarial chain converges (log-round guarantee)") {
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
     val labels = ConnectedComponents.run(chain, maxIter = 25)
