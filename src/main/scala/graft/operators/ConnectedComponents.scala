@@ -23,11 +23,42 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents extends org.apache.spark.internal.Logging {
 
   /**
+   * In-loop shuffle width. The loop runs with AQE off (see below), so the
+   * width must be picked explicitly — data-adaptively, not clamped:
+   *
+   *  - `explicit > 0` (caller override) always wins;
+   *  - otherwise scale with the edge count (`ceil(edges/edgesPerPartition)`)
+   *    so a 100-TB edge set runs as wide as the session allows, bounded by
+   *    the session's `spark.sql.shuffle.partitions` as the ceiling (a
+   *    caller that raised it gets the raise honored);
+   *  - floor of `min(8, ceiling)`: tiny edge sets keep the small fixed
+   *    width that makes each round one pipelined job locally (the round-2
+   *    serial-term fix) without ever exceeding the session value.
+   *
+   * Pure function — unit-tested in CcSpec.
+   */
+  def chooseLoopWidth(edgeCount: Long, explicit: Int, sessionParts: Int,
+      edgesPerPartition: Long): Int = {
+    if (explicit > 0) explicit
+    else {
+      val ceilingParts = math.max(1, sessionParts)
+      val byData = math.ceil(edgeCount.toDouble / math.max(1L, edgesPerPartition)).toLong
+      val floorParts = math.min(8, ceilingParts)
+      math.max(floorParts.toLong, math.min(ceilingParts.toLong, byData)).toInt
+    }
+  }
+
+  /**
    * @param edges two Long columns `src`, `dst` (undirected, dups ok).
+   * @param loopShufflePartitions explicit in-loop shuffle width (0 = size
+   *        from the edge count via [[chooseLoopWidth]]).
+   * @param edgesPerPartition target edges per reducer when auto-sizing.
    * @return DataFrame (id: Long, component: Long) — component = min node
    *         id reachable; covers only nodes appearing in `edges`.
    */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25,
+      loopShufflePartitions: Int = 0,
+      edgesPerPartition: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -44,15 +75,21 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
     // under AQE every query stage materializes as its own job, so a round
     // costs 4-6 driver scheduling barriers — a pure serial term that
     // dominates the pipeline's scaling efficiency. Run the loop with AQE
-    // off and a small fixed shuffle width (one pipelined job per round);
-    // restore the session confs after. On a real cluster with huge edge
-    // sets, callers raise spark.sql.shuffle.partitions before the loop.
+    // off and an explicit width from chooseLoopWidth (one pipelined job
+    // per round locally; edge-count-proportional on a big graph); restore
+    // the session confs after. Session conf values are parsed defensively
+    // BEFORE anything is mutated (a non-numeric value, e.g. a managed
+    // platform's "auto", must not leave AQE disabled for the session).
     val conf = spark.conf
     val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
     val partsBefore = conf.get("spark.sql.shuffle.partitions", "200")
+    val sessionParts = scala.util.Try(partsBefore.trim.toInt).getOrElse(200)
+    // the initial checkpoint is eager — counting it is a cheap cached scan
+    val loopWidth = chooseLoopWidth(e.count(), loopShufflePartitions,
+      sessionParts, edgesPerPartition)
+    logWarning(s"[cc] loop shuffle width=$loopWidth (session=$partsBefore)")
     conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions",
-      math.min(8, partsBefore.toInt).max(1).toString)
+    conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
     try {
 
     var iter = 0

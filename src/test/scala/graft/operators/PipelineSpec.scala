@@ -115,6 +115,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cc loop width: explicit override wins; auto honors the session ceiling") {
+    // explicit override always wins
+    assert(ConnectedComponents.chooseLoopWidth(10L, explicit = 123,
+      sessionParts = 4, edgesPerPartition = 2000000L) === 123)
+    // tiny edge set: keep the small fixed width (one pipelined job/round)
+    assert(ConnectedComponents.chooseLoopWidth(100L, 0, 32, 2000000L) === 8)
+    // big edge set: width grows with the data, up to the session ceiling —
+    // the round-2 clamp bug made this impossible (min(8, 2000) = 8)
+    assert(ConnectedComponents.chooseLoopWidth(10000000000L, 0, 2000, 2000000L) === 2000)
+    // session ceiling below the floor: never exceed the session value
+    assert(ConnectedComponents.chooseLoopWidth(10000000000L, 0, 4, 2000000L) === 4)
+    // mid-size: proportional between floor and ceiling
+    assert(ConnectedComponents.chooseLoopWidth(100000000L, 0, 2000, 2000000L) === 50)
+  }
+
+  test("cc loop runs wider than 8 when the session raises shuffle partitions") {
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val n = 600
+      val rnd = new scala.util.Random(11)
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // edgesPerPartition=4 makes the auto width data-bound (~150),
+      // clamped to the raised session ceiling 64 — strictly > 8
+      val wide = ConnectedComponents.run(edges.toDF("src", "dst"),
+        edgesPerPartition = 4L)
+      assert(wide.rdd.getNumPartitions > 8,
+        s"loop produced ${wide.rdd.getNumPartitions} partitions — width still clamped?")
+      // labels are identical to the default-width run
+      val narrow = ConnectedComponents.run(edges.toDF("src", "dst"))
+      val a = wide.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = narrow.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a === b)
+      // session confs restored by the loop
+      assert(conf.get("spark.sql.shuffle.partitions") === "64")
+      assert(conf.get("spark.sql.adaptive.enabled") === "true")
+    } finally conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("connected components: adversarial chain converges (log-round guarantee)") {
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
     val labels = ConnectedComponents.run(chain, maxIter = 25)
