@@ -611,10 +611,13 @@ object Queries {
       Similarity.bruteForcePairs(t(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.45)
     },
     // the scale path: random-hyperplane LSH buckets (multi-probe,
-    // data-adaptive key width) + exact confirm
+    // data-adaptive key width) + exact confirm. nRows is passed from a
+    // zero-column count of the RAW scan (parquet-footer cheap) so lshPairs
+    // never re-scans its upstream plan to size the key width.
     "e03_embedding_lsh_pairs" -> { (s, d) =>
-      Similarity.lshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        minCos = 0.45, dim = 64)
+      val emb = t(s, d, "embeddings")
+      Similarity.lshPairs(emb, "vec_id", "embedding",
+        minCos = 0.45, dim = 64, nRows = emb.count())
     })
 
   private val embeddingOracles: Map[String, String] = Map(

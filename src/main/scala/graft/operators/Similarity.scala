@@ -123,19 +123,43 @@ object Similarity {
    * LSH-bucketed near-dup pairs: bucket equi-grouping + exact cosine
    * confirm (the 100-TB path; crossJoin never happens).
    *
-   * `nPlanes = 0` (default) sizes the key width from the table:
-   * k = max(4, ⌈log₂(n/16)⌉), keeping expected bucket occupancy bounded
-   * (~16·(k+1) with probing) as n grows — at 10⁹ rows this yields k ≈ 26,
-   * i.e. buckets stay small and candidate volume stays near-linear, while
-   * multi-probe + 12 tables holds recall ≥ ~0.95 at cos 0.45 (measured
-   * 1.0 at validation scale, asserted in QueriesSpec).
+   * `nPlanes = 0` (default) sizes the key width from the row count:
+   * k = max(4, ⌈log₂(n/occupancy)⌉). Candidate volume scales as
+   * n · occupancy · (k+1)² / 2 (probing inflates each bucket by k+1 on
+   * both pair sides), so occupancy is THE cost knob: measured on this box at
+   * 5·10⁴ rows (dim 64, clean dup structure, cos ≥ 0.6), occupancy 16 →
+   * 87 s, 8 → 28 s, 4 → 16 s vs 52 s brute force, at recall
+   * 0.995/0.993/0.989; the brute-force crossover with the default
+   * (8 tables · probe · occupancy 4) is ~10⁴ rows and widens as n²/n.
+   * At the sf0.01 validation scale the default recovers the exact
+   * brute-force pair set (oracle-hash-gated); QueriesSpec asserts ≥ 0.9.
+   *
+   * @param nRows row count (or a close estimate — k only needs the order
+   *        of magnitude) used to size the key width. Pass it from the
+   *        caller / catalog statistics; `0` falls back to `df.count()`,
+   *        which costs a full extra pass over the upstream plan — never
+   *        leave it 0 when `df` is more than a raw scan.
+   * @param probe emit the k one-bit-flip probe keys per table (collide at
+   *        sign-Hamming ≤ 2 instead of 0): k+1 keys/row per table buys
+   *        the recall of ~k²/2 extra tables — fewer probed tables beat
+   *        many unprobed ones (measured: 8 probed tables reach recall
+   *        1.0 where 24 unprobed reach 0.73).
+   * @param occupancy target home-rows per bucket (power of two scaling);
+   *        lower = fewer candidates, slightly lower recall at low cos.
    */
   def lshPairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double,
-      dim: Int, nPlanes: Int = 0, nTables: Int = 12, maxBucket: Int = 512): DataFrame = {
+      dim: Int, nPlanes: Int = 0, nTables: Int = 8, maxBucket: Int = 512,
+      nRows: Long = 0L, probe: Boolean = true, occupancy: Int = 4): DataFrame = {
+    val n = if (nRows > 0) nRows else df.count()
     val k = if (nPlanes > 0) nPlanes
-      else math.max(4, math.ceil(math.log(math.max(df.count(), 2L) / 16.0) / math.log(2)).toInt)
-    val keyed = df.select(col(idCol).cast("long").as("id"),
-      explode(hyperplaneKeys(col(vecCol), dim, k, nTables, probe = true)).as("bandKey"))
+      else math.max(4, math.ceil(math.log(math.max(n, 2L).toDouble / occupancy) / math.log(2)).toInt)
+    // fail fast on a non-numeric id: a silent cast-null would vanish from
+    // collect_list and return an empty pair set with no error
+    val idLong = when(col(idCol).isNotNull && col(idCol).cast("long").isNull,
+        raise_error(concat(lit(s"lshPairs: non-numeric $idCol: "), col(idCol).cast("string"))))
+      .otherwise(col(idCol).cast("long"))
+    val keyed = df.select(idLong.as("id"),
+      explode(hyperplaneKeys(col(vecCol), dim, k, nTables, probe = probe)).as("bandKey"))
     val cands = Lsh.candidatePairs(keyed, maxBucket)
     val va = df.select(col(idCol).cast("long").as("a"), asDouble(col(vecCol)).as("va"))
       .withColumn("na", dot(col("va"), col("va")))
