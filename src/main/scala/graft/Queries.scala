@@ -707,16 +707,35 @@ object Queries {
         .select(col("stage"), col("rows_out"))
     })
 
+  /**
+   * Regression-frozen oracle constants for the fixed synthetic corpus
+   * (seed 42). These are DERIVED values, not hand-authored:
+   * `OracleDerivationSpec` re-derives both tables from
+   * `SyntheticCorpus`+`DedupConfig` on every test run and fails with the
+   * freshly derived literals when the corpus or config changes — update
+   * them from that failure message. The oracle SQL below is GENERATED
+   * from these constants, so test and oracle share one source of truth.
+   */
+  // m02 @ n=5000: (fmt, n, min_mean_px, max_mean_px, n_phash)
+  val m02Expected: Seq[(String, Long, Long, Long, Long)] = Seq(
+    ("jpg", 28L, 106L, 150L, 28L),
+    ("png", 42L, 99L, 148L, 42L),
+    ("ppm", 4895L, 87L, 169L, 4749L),
+    ("ppmq", 35L, 100L, 169L, 34L))
+  // m03 @ n=2000: (stage, rows_out)
+  val m03Expected: Seq[(String, Long)] = Seq(
+    ("sketches", 2000L), ("exact_tagged", 2000L), ("exact_edges", 17L),
+    ("candidates", 9667L), ("near_edges", 85L), ("clusters", 2000L))
+
   private val multimodalOracles: Map[String, String] = Map(
     // deterministic decode statistics of the fixed synthetic corpus
-    // (n=5000, seed 42): one row per container format incl. the real PNG
-    // decode path — regression-frozen constants
+    // (n=5000, seed 42): one row per container format incl. the real
+    // PNG/JPEG decode paths — constants derived per m02Expected above
     "m02_image_decode_stats" ->
-      """SELECT * FROM (VALUES
-        |  ('ppm', 4929, 87, 169, 4749),
-        |  ('ppmq', 32, 100, 149, 32),
-        |  ('png', 39, 110, 152, 39)
-        |) AS t(fmt, n, min_mean_px, max_mean_px, n_phash)""".stripMargin,
+      ("SELECT * FROM (VALUES\n" +
+        m02Expected.map { case (f, n, mn, mx, np) =>
+          s"  ('$f', $n, $mn, $mx, $np)" }.mkString(",\n") +
+        "\n) AS t(fmt, n, min_mean_px, max_mean_px, n_phash)"),
     // clustering tail replicated as a recursive transitive closure over
     // the dumped edge set, then min-image_id relabel + component sizes
     "m01_corpus_dedup_clusters" ->
@@ -950,11 +969,11 @@ object Queries {
         |  ('SRR2060939_2.fastq.gz', 0.356),
         |  ('SRR2255622_1.fastq.gz', 0.086)
         |) AS t(filename, score)""".stripMargin,
+    // stage rows derived per m03Expected (see the scaladoc there)
     "m03_checkpointed_lineage" ->
-      """SELECT * FROM (VALUES
-        |  ('sketches', 2000), ('exact_tagged', 2000), ('exact_edges', 14),
-        |  ('candidates', 9669), ('near_edges', 87), ('clusters', 2000)
-        |) AS t(stage, rows_out)""".stripMargin)
+      ("SELECT * FROM (VALUES\n" +
+        m03Expected.map { case (st, n) => s"  ('$st', $n)" }.mkString(",\n") +
+        "\n) AS t(stage, rows_out)"))
 
   // ================================================================ agg + sql surface
 
@@ -998,19 +1017,23 @@ object Queries {
           .select(col("filename"), round(col("score"), 6).as("score"))
       }
     },
-    // SQL surface: the custom kernels as registered Catalyst functions
+    // SQL surface: the custom kernels as registered Catalyst functions.
+    // Gated by the d03 LSH candidate set — a within-source all-pairs join
+    // grows quadratically with block size (the d02 boilerplate blowup one
+    // scale-up later); the SQL functions are demonstrated on the bucketed
+    // candidates instead, exactly as a 100-TB run would drive them.
     "d08_sql_jaccard" -> { (s, d) =>
       graft.functions.GraftExtensions.register(s)
-      // blocked by source like d02: the SQL surface demo should not be an
-      // unblocked O(n^2) crossJoin at bench scale
       docSketches(s, d).createOrReplaceTempView("doc_sketches")
+      docCandidates(s, d).createOrReplaceTempView("doc_candidates")
       s.sql(
-        """SELECT a.doc_id AS a, b.doc_id AS b,
-          |  round(graft_jaccard(a.mins, b.mins, 128), 6) AS jac,
-          |  round(graft_containment(a.mins, b.mins), 6) AS containment
-          |FROM doc_sketches a JOIN doc_sketches b
-          |  ON a.source = b.source AND a.doc_id < b.doc_id
-          |WHERE graft_jaccard(a.mins, b.mins, 128) >= 0.5""".stripMargin)
+        """SELECT c.a, c.b,
+          |  round(graft_jaccard(sa.mins, sb.mins, 128), 6) AS jac,
+          |  round(graft_containment(sa.mins, sb.mins), 6) AS containment
+          |FROM doc_candidates c
+          |JOIN doc_sketches sa ON sa.doc_id = c.a
+          |JOIN doc_sketches sb ON sb.doc_id = c.b
+          |WHERE graft_jaccard(sa.mins, sb.mins, 128) >= 0.5""".stripMargin)
     })
 
   private val aggAndSqlOracles: Map[String, String] = Map(
@@ -1029,32 +1052,21 @@ object Queries {
          |SELECT d.doc_id, coalesce(a.n_mins, 0) AS n_mins,
          |  coalesce(a.first_min, '') AS first_min
          |FROM docs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
-    // full replica of the blocked sketch join: combined-denominator
-    // jaccard (num=128) + one-sided containment from the sketch dump
+    // full replica over the LSH-gated candidates: bucketing/caps/pair-gen
+    // from the band dump (candSql), combined-denominator jaccard (num=128,
+    // jacSql) + one-sided containment from the sketch dump
     "d08_sql_jaccard" ->
-      s"""WITH sk AS (SELECT doc_id, source, mins FROM read_parquet(${oraclePath("doc_sketches")})),
-         |cand AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, x.mins AS ma, y.mins AS mb
-         |  FROM sk x JOIN sk y ON x.source = y.source AND x.doc_id < y.doc_id),
-         |uni AS (
-         |  SELECT a, b, ma, mb,
-         |    unnest(list_distinct(list_concat(ma, mb))) AS m
-         |  FROM cand),
-         |rk AS (
-         |  SELECT a, b, list_contains(ma, m) AND list_contains(mb, m) AS in_both,
-         |    row_number() OVER (PARTITION BY a, b ORDER BY (m < 0), m) AS r
-         |  FROM uni),
-         |jac AS (
-         |  SELECT a, b,
-         |    count(*) FILTER (WHERE in_both) * 1.0 / greatest(count(*), 1) AS j
-         |  FROM rk WHERE r <= 128 GROUP BY a, b),
+      s"""WITH $candSql,
+         |$jacSql,
          |cont AS (
-         |  SELECT a, b,
-         |    len(list_intersect(ma, mb)) * 1.0 / greatest(len(ma), 1) AS ct
-         |  FROM cand)
-         |SELECT jac.a, jac.b, round(jac.j, 6) AS jac, round(cont.ct, 6) AS containment
+         |  SELECT c.a, c.b,
+         |    len(list_intersect(sa.mins, sb.mins)) * 1.0 / greatest(len(sa.mins), 1) AS ct
+         |  FROM cand c
+         |  JOIN sk sa ON sa.doc_id = c.a
+         |  JOIN sk sb ON sb.doc_id = c.b)
+         |SELECT jac.a, jac.b, round(jac.jac_est, 6) AS jac, round(cont.ct, 6) AS containment
          |FROM jac JOIN cont ON jac.a = cont.a AND jac.b = cont.b
-         |WHERE jac.j >= 0.5""".stripMargin)
+         |WHERE jac.jac_est >= 0.5""".stripMargin)
 
   // ================================================================ assembled
 

@@ -45,12 +45,15 @@ object ImageCodec {
   final case class Decoded(rgb: Array[Byte], w: Int, h: Int)
 
   /** Decode image bytes by format: `ppm`/`ppmq` via the native parser,
-    * `png`/`bmp`/`gif` via `javax.imageio` (real container decoders).
-    * Returns None for unknown formats (the multimodal stub path handles
-    * those — a real deployment plugs its decoder there). */
+    * `png`/`bmp`/`gif`/`jpg` via `javax.imageio` (real container
+    * decoders — decoding a fixed byte stream is deterministic; only
+    * ENCODING was the SURVEY §7 nondeterminism risk, so corpora encode
+    * once at generation). Returns None for unknown formats (the
+    * multimodal stub path handles those — a real deployment plugs its
+    * decoder there). */
   def decode(bytes: Array[Byte], fmt: String): Option[Decoded] = fmt match {
     case "ppm" | "ppmq" => decodePpm(bytes)
-    case "png" | "bmp" | "gif" => decodeImageIo(bytes)
+    case "png" | "bmp" | "gif" | "jpg" | "jpeg" => decodeImageIo(bytes)
     case _ => None
   }
 
@@ -89,6 +92,55 @@ object ImageCodec {
     img.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode interleaved RGB pixels as JPEG — the lossy real-container
+    * path. Chroma subsampling is DISABLED via the writer's image metadata
+    * (1×1 sampling factors) and quality defaults to 1.0: the remaining
+    * loss is DCT + YCbCr round-trip rounding, measured min PSNR 49.9 dB
+    * over the corpus generator — the BASELINE.json per-row ≥ 40 dB decode
+    * invariant holds. 4:2:0 subsampling (any quality ≤ 1.0 by default in
+    * the JDK writer) lands at ~34 dB on these images and would break it.
+    * Encoding is JVM-deterministic for fixed input (measured; corpora
+    * encode once at generation, decode is the distributed path). */
+  def encodeJpeg(rgb: Array[Byte], w: Int, h: Int, quality: Float = 1.0f): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != ${w * h * 3}")
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      px(i) = ((rgb(i * 3) & 0xff) << 16) | ((rgb(i * 3 + 1) & 0xff) << 8) | (rgb(i * 3 + 2) & 0xff)
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val itype = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+    val meta = writer.getDefaultImageMetadata(itype, params)
+    val fmt = "javax_imageio_jpeg_image_1.0"
+    val tree = meta.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+    val sofs = tree.getElementsByTagName("sof")
+    if (sofs.getLength > 0) {
+      val comps = sofs.item(0).asInstanceOf[org.w3c.dom.Element]
+        .getElementsByTagName("componentSpec")
+      var c = 0
+      while (c < comps.getLength) {
+        val el = comps.item(c).asInstanceOf[org.w3c.dom.Element]
+        el.setAttribute("HsamplingFactor", "1")
+        el.setAttribute("VsamplingFactor", "1")
+        c += 1
+      }
+      meta.setFromTree(fmt, tree)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, meta), params)
+    writer.dispose()
+    ios.close()
     bos.toByteArray
   }
 

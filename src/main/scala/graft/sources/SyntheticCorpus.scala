@@ -43,6 +43,9 @@ final case class DupLabel(dup_id: String, src_id: String, kind: String)
  *  - `pngenc`   — same pixels re-encoded through a real PNG container
  *                 (different bytes, identical decoded pixels: caught by
  *                 the decode→sketch path, not by byte hashing)
+ *  - `jpgenc`   — same pixels re-encoded through a real JPEG container
+ *                 (lossy: decoded pixels ≈ source at PSNR ≥ 40 dB; caught
+ *                 by the decode→normalize→sketch path and phash)
  */
 object SyntheticCorpus {
 
@@ -125,7 +128,7 @@ object SyntheticCorpus {
   /** Number of base (original) rows for a total row count. */
   def nBase(nTotal: Long): Long = (nTotal * (1.0 - DUP_FRACTION)).toLong
 
-  private val dupKinds = Array("exact", "noise", "reencode", "caption", "capsub", "pngenc")
+  private val dupKinds = Array("exact", "noise", "reencode", "caption", "capsub", "pngenc", "jpgenc")
 
   /** Dup plan for a dup row id (id >= nBase): (srcId, kind). */
   def dupPlan(id: Long, nBaseRows: Long): (Long, String) = {
@@ -181,6 +184,12 @@ object SyntheticCorpus {
         case "pngenc" =>
           ImageRow(s"img_$id", ImageCodec.encodePng(rgb0, W, H), W, H, "png",
             cap0, ImageCodec.phash64(rgb0, W, H))
+        case "jpgenc" =>
+          // lossy: the row's phash reflects what its bytes decode to
+          val bytes = ImageCodec.encodeJpeg(rgb0, W, H)
+          val dec = ImageCodec.decode(bytes, "jpg").get
+          ImageRow(s"img_$id", bytes, W, H, "jpg",
+            cap0, ImageCodec.phash64(dec.rgb, W, H))
       }
     }
   }

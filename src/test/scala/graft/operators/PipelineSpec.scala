@@ -53,12 +53,13 @@ class PipelineSpec extends AnyFunSuite {
         assert(java.util.Arrays.equals(dec.rgb, SyntheticCorpus.genPixels(src)),
           s"png decode not byte-exact for ${r.image_id}")
       } else {
-        // simulated-lossy: decoded pixels vs the SOURCE row's pixels
+        // lossy (simulated ppmq or real JPEG container): decoded pixels
+        // vs the SOURCE row's pixels must hold the ≥ 40 dB invariant
         val (src, kind) = SyntheticCorpus.dupPlan(id, base)
-        assert(kind === "reencode")
+        assert(kind === "reencode" || kind === "jpgenc", kind)
         val orig = SyntheticCorpus.genPixels(src)
         val p = ImageCodec.psnr(dec.rgb, orig)
-        assert(p >= 40.0, s"PSNR $p < 40 for ${r.image_id}")
+        assert(p >= 40.0, s"PSNR $p < 40 for ${r.image_id} ($kind)")
         checkedLossy += 1
       }
     }
