@@ -490,6 +490,28 @@ object Queries {
       val nodes = t(s, d, "documents").select(col("doc_id").as("id"))
       ConnectedComponents.labelAll(nodes, edges)
         .select(col("id").as("doc_id"), col("component").as("cluster"))
+    },
+    // SCALED-mode sketches end-to-end — the reference's second sketch mode
+    // (`/root/reference/src/lib.rs:198,206`): an unsigned max_hash cutoff
+    // instead of bottom-k. scaled=4 → max_hash = 2^62; at num=0 the merge
+    // never truncates, so the reference's combined-denominator Jaccard
+    // degenerates to plain |A∩B|/|A∪B| — the oracle replicates BOTH the
+    // cutoff (pure unsigned comparison, SQL-expressible since 2^62 > 0)
+    // and the Jaccard from the raw murmur shingle dump.
+    "d09_scaled_sketch" -> { (s, d) =>
+      val scaledCfg = graft.core.SketchConfig(num = 0, ksize = 5,
+        maxHash = graft.core.SketchConfig.scaledToMaxHash(4L))
+      docShingles(s, d) // materialize the shingle dump the oracle reads
+      val sk = udf((text: String) =>
+        MinHash.sketchHashes(Shingles.charShingleHashes(text, 5, 42L), scaledCfg))
+      val scaled = t(s, d, "documents").select(col("doc_id"), sk(col("text")).as("mins"))
+      docCandidates(s, d)
+        .join(scaled.select(col("doc_id").as("a"), col("mins").as("ma")), "a")
+        .join(scaled.select(col("doc_id").as("b"), col("mins").as("mb")), "b")
+        .select(col("a"), col("b"),
+          size(col("ma")).cast("long").as("na"),
+          size(col("mb")).cast("long").as("nb"),
+          round(GraftFunctions.jaccard(col("ma"), col("mb"), scaledCfg), 6).as("jac_scaled"))
     })
 
   private val docDedupOracles: Map[String, String] = Map(
@@ -520,6 +542,30 @@ object Queries {
          |  SELECT c.a, c.b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
          |  FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b)
          |SELECT a, b, hamming FROM ham WHERE hamming <= 7""".stripMargin,
+    // scaled-mode replica: the unsigned max_hash=2^62 cutoff over the raw
+    // shingle dump (h in [0, 2^62] in signed terms since 2^62 > 0), then
+    // plain set Jaccard over the LSH-gated candidate pairs
+    "d09_scaled_sketch" ->
+      s"""WITH $candSql,
+         |hh AS (
+         |  SELECT DISTINCT doc_id, h FROM read_parquet(${oraclePath("t04_shingles")})
+         |  WHERE pos IS NOT NULL),
+         |sc AS (SELECT doc_id, h FROM hh WHERE h >= 0 AND h <= 4611686018427387904),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sc GROUP BY 1),
+         |cm AS (
+         |  SELECT c.a, c.b, count(*) AS cnt
+         |  FROM cand c
+         |  JOIN sc x ON x.doc_id = c.a
+         |  JOIN sc y ON y.doc_id = c.b AND y.h = x.h
+         |  GROUP BY 1, 2)
+         |SELECT c.a, c.b,
+         |  coalesce(sa.n, 0) AS na, coalesce(sb.n, 0) AS nb,
+         |  round(coalesce(cm.cnt, 0) * 1.0 /
+         |    greatest(coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(cm.cnt, 0), 1), 6) AS jac_scaled
+         |FROM cand c
+         |LEFT JOIN sizes sa ON sa.doc_id = c.a
+         |LEFT JOIN sizes sb ON sb.doc_id = c.b
+         |LEFT JOIN cm ON cm.a = c.a AND cm.b = c.b""".stripMargin,
     // connected components via recursive transitive closure (small graph)
     "d06_doc_clusters" ->
       s"""WITH RECURSIVE $candSql,
@@ -541,14 +587,20 @@ object Queries {
   // pick dedup, Schleimer et al.) with SQL window functions — an
   // independent implementation of the selection logic.
 
+  /** Murmur shingle stream (k=5, seed 42) over every document — dumped so
+    * the t04 winnowing and d09 scaled-cutoff oracles can replicate their
+    * selection logic independently from the same kernel output. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    dumpDerived(s, d, "t04_shingles") {
+      val sh = udf((text: String) => Shingles.charShingleHashes(text, 5, 42L))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode_outer(sh(col("text"))).as(Seq("pos", "h")))
+    }
+
   private val fingerprints: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t04_winnow_fingerprint" -> { (s, d) =>
       // dump the murmur shingle stream — the oracle winnows it independently
-      dumpDerived(s, d, "t04_shingles") {
-        val sh = udf((text: String) => Shingles.charShingleHashes(text, 5, 42L))
-        t(s, d, "documents")
-          .select(col("doc_id"), posexplode_outer(sh(col("text"))).as(Seq("pos", "h")))
-      }
+      docShingles(s, d)
       val fp = udf((text: String) =>
         Shingles.winnow(Shingles.charShingleHashes(text, 5, 42L), 8))
       t(s, d, "documents")

@@ -37,12 +37,16 @@ final case class SketchConfig(
 object SketchConfig {
 
   /**
-   * `--scaled` → `max_hash` conversion: `max_hash = ⌊2^64 / scaled⌋` as an
-   * unsigned 64-bit value (published sourmash semantics). The REFERENCE
-   * parses `--scaled` but never applies it — the parameter is threaded
-   * into `load_query_signature` and dropped
-   * (`/root/reference/src/lib.rs:593-601`, `src/main.rs:181-185`); this
-   * helper completes the conversion the reference left unimplemented.
+   * `--scaled` → `max_hash` conversion: `max_hash = round(2^64 / scaled)`
+   * as an unsigned 64-bit value — published sourmash semantics (Python
+   * `int(round(2**64 / scaled))`; e.g. scaled=1000 → 18446744073709552,
+   * not the ⌊⌋ 18446744073709551). The REFERENCE parses `--scaled` but
+   * never applies it — the parameter is threaded into
+   * `load_query_signature` and dropped (`/root/reference/src/lib.rs:593-601`,
+   * `src/main.rs:181-185`); this helper completes the conversion the
+   * reference left unimplemented, matching upstream rounding (half-up;
+   * 2^64/scaled can only land exactly on .5 for power-of-two scaled,
+   * where upstream's float division is exact and no rounding occurs).
    * scaled = 0 means "not scaled" (max_hash 0, bottom-k mode);
    * scaled = 1 keeps every hash (max_hash = u64::MAX).
    */
@@ -50,14 +54,21 @@ object SketchConfig {
     require(scaled >= 0, "scaled must be >= 0")
     if (scaled == 0L) 0L
     else if (scaled == 1L) -1L // u64::MAX
-    else (BigInt(2).pow(64) / scaled).toLong // .toLong wraps bit-faithfully (scaled=2 → 2^63 → Long.MinValue as u64)
+    // floor((2^65 + s) / 2s) = round-half-up(2^64 / s);
+    // .toLong wraps bit-faithfully (scaled=2 → 2^63 → Long.MinValue as u64)
+    else ((BigInt(2).pow(65) + scaled) / (BigInt(2) * scaled)).toLong
   }
 
-  /** Inverse rendering for reporting: scaled ≈ 2^64 / max_hash. */
+  /** Inverse rendering for reporting: scaled = round(2^64 / max_hash)
+    * (same rounding as the forward direction, so the round-trip is exact
+    * for practical scaled values). */
   def maxHashToScaled(maxHash: Long): Long = {
     if (maxHash == 0L) 0L
     else if (maxHash == -1L) 1L
-    else (BigInt(2).pow(64) / (BigInt(maxHash) & BigInt("ffffffffffffffff", 16))).toLong
+    else {
+      val mh = BigInt(maxHash) & BigInt("ffffffffffffffff", 16)
+      ((BigInt(2).pow(65) + mh) / (BigInt(2) * mh)).toLong
+    }
   }
 }
 

@@ -306,11 +306,12 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
-  test("scaledToMaxHash: 2^64/scaled as u64 (completes the reference's dropped param)") {
+  test("scaledToMaxHash: round(2^64/scaled) as u64 (completes the reference's dropped param)") {
     assert(SketchConfig.scaledToMaxHash(0L) === 0L)
     assert(SketchConfig.scaledToMaxHash(1L) === -1L) // u64::MAX
     assert(SketchConfig.scaledToMaxHash(2L) === Long.MinValue) // 2^63
-    assert(SketchConfig.scaledToMaxHash(1000L) === 18446744073709551L)
+    // upstream sourmash rounding: int(round(2**64/1000)) = ...552, not ⌊⌋ ...551
+    assert(SketchConfig.scaledToMaxHash(1000L) === 18446744073709552L)
     assert(SketchConfig.maxHashToScaled(SketchConfig.scaledToMaxHash(1000L)) === 1000L)
     assert(SketchConfig.maxHashToScaled(SketchConfig.scaledToMaxHash(2L)) === 2L)
     // every kept hash under scaled=1000 is <= maxHash (sampling property)
