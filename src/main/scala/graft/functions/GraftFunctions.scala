@@ -11,10 +11,12 @@ import graft.sources.ImageCodec
  * reference's FFI verbs (`/root/reference/src/ffi.rs`: add_sequence /
  * compare / containment / merge re-expressed as columns).
  *
- * Scalar kernels run as Scala UDFs over primitive arrays (codegen handles
- * the surrounding plan; the UDF bodies are tight `while`-loop kernels from
- * `graft.core`). Pure-relational pieces (Hamming distance, banding keys,
- * exact hashes) use built-in codegen'd `functions._` only.
+ * Scalar kernels are native codegen'd Catalyst expressions
+ * ([[graft.functions.expressions]]) calling tight `while`-loop kernels
+ * from `graft.core` — no UDF encoder round-trips in any hot path; every
+ * expression keeps a `*Udf` twin here as its differential-test oracle
+ * (ExpressionsSpec asserts bit-equality). Pure-relational pieces (Hamming
+ * distance, fingerprint blocks) use built-in codegen'd `functions._` only.
  */
 object GraftFunctions {
 
@@ -25,8 +27,17 @@ object GraftFunctions {
     f(c)
   }
 
-  /** Caption MinHash sketch: normalized char-k-shingles → bottom-num mins. */
-  def captionMinhash(caption: Column, cfg: SketchConfig): Column = {
+  private val emptyMins: Column = typedlit(Array.emptyLongArray)
+
+  /** Caption MinHash sketch: normalized char-k-shingles → bottom-num mins.
+    * Native codegen'd expression (null caption → empty sketch, matching
+    * the UDF twin's contract). */
+  def captionMinhash(caption: Column, cfg: SketchConfig): Column =
+    coalesce(Bridge.column(expressions.CaptionMinhash(
+      Bridge.expression(caption), cfg.ksize, cfg.num, cfg.maxHash, cfg.seed)), emptyMins)
+
+  /** UDF formulation of [[captionMinhash]] — differential-test oracle. */
+  def captionMinhashUdf(caption: Column, cfg: SketchConfig): Column = {
     val k = cfg.ksize; val seed = cfg.seed; val localCfg = cfg
     val f = udf((s: String) =>
       if (s == null) Array.emptyLongArray
@@ -34,8 +45,14 @@ object GraftFunctions {
     f(caption)
   }
 
-  /** Caption SimHash64 fingerprint over the same shingle stream. */
-  def captionSimhash(caption: Column, ksize: Int, seed: Long = 42L): Column = {
+  /** Caption SimHash64 fingerprint over the same shingle stream — native
+    * codegen'd expression (null caption → 0L, matching the UDF twin). */
+  def captionSimhash(caption: Column, ksize: Int, seed: Long = 42L): Column =
+    coalesce(Bridge.column(expressions.CaptionSimhash(
+      Bridge.expression(caption), ksize, seed)), lit(0L))
+
+  /** UDF formulation of [[captionSimhash]] — differential-test oracle. */
+  def captionSimhashUdf(caption: Column, ksize: Int, seed: Long = 42L): Column = {
     val f = udf((s: String) =>
       if (s == null) 0L else Shingles.simhash64(Shingles.charShingleHashes(s, ksize, seed)))
     f(caption)
@@ -45,8 +62,15 @@ object GraftFunctions {
    * Image MinHash sketch: decode → coarse-normalize pixels → byte-shingle
    * → bottom-num mins. Unknown formats fall back to raw-byte shingles (the
    * multimodal stub path — real deployments plug a decoder there).
+   * Native codegen'd expression (null bytes/fmt → empty sketch).
    */
-  def imageMinhash(bytes: Column, fmt: Column, cfg: SketchConfig, stride: Int = 4): Column = {
+  def imageMinhash(bytes: Column, fmt: Column, cfg: SketchConfig, stride: Int = 4): Column =
+    coalesce(Bridge.column(expressions.ImageMinhash(
+      Bridge.expression(bytes), Bridge.expression(fmt),
+      cfg.ksize, cfg.num, cfg.maxHash, cfg.seed, stride)), emptyMins)
+
+  /** UDF formulation of [[imageMinhash]] — differential-test oracle. */
+  def imageMinhashUdf(bytes: Column, fmt: Column, cfg: SketchConfig, stride: Int = 4): Column = {
     val k = cfg.ksize; val seed = cfg.seed; val localCfg = cfg; val s = stride
     val f = udf((b: Array[Byte], f0: String) =>
       if (b == null) Array.emptyLongArray

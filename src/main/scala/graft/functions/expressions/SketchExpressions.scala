@@ -113,6 +113,35 @@ object SketchKernels {
     h1 + h2
   }
 
+  /** Caption MinHash sketch: normalized char-k-shingles → bottom-num (or
+    * scaled-cutoff) mins — the string-side sketcher of the flagship
+    * pipeline, as a static kernel for codegen. */
+  def captionMinhash(s: org.apache.spark.unsafe.types.UTF8String,
+      ksize: Int, num: Int, maxHash: Long, seed: Long): ArrayData =
+    new GenericArrayData(graft.core.MinHash.sketchHashes(
+      graft.core.Shingles.charShingleHashes(s.toString, ksize, seed),
+      graft.core.SketchConfig(num = num, ksize = ksize, seed = seed, maxHash = maxHash)))
+
+  /** Caption SimHash64 fingerprint over the same shingle stream. */
+  def captionSimhash(s: org.apache.spark.unsafe.types.UTF8String,
+      ksize: Int, seed: Long): Long =
+    graft.core.Shingles.simhash64(
+      graft.core.Shingles.charShingleHashes(s.toString, ksize, seed))
+
+  /** Image MinHash sketch: decode → coarse-normalize → byte-shingle →
+    * bottom-num mins; unknown formats fall back to raw-byte shingles (the
+    * multimodal stub path). */
+  def imageMinhash(bytes: Array[Byte], fmt: org.apache.spark.unsafe.types.UTF8String,
+      ksize: Int, num: Int, maxHash: Long, seed: Long, stride: Int): ArrayData = {
+    val payload = graft.sources.ImageCodec.decode(bytes, if (fmt == null) null else fmt.toString) match {
+      case Some(d) => graft.sources.ImageCodec.normalizeForSketch(d.rgb)
+      case None => bytes
+    }
+    new GenericArrayData(graft.core.MinHash.sketchHashes(
+      graft.core.Shingles.byteShingleHashes(payload, ksize, stride, seed),
+      graft.core.SketchConfig(num = num, ksize = ksize, seed = seed, maxHash = maxHash)))
+  }
+
   /** LSH band keys over a mins array: murmur of each band slice (band
     * index mixed into the seed), partial trailing band kept. */
   def bandKeys(m: ArrayData, bands: Int, rowsPerBand: Int, seed: Long): ArrayData = {
@@ -180,4 +209,47 @@ case class MinhashBandKeys(child: Expression, bands: Int, rowsPerBand: Int, seed
     defineCodeGen(ctx, ev, m =>
       s"graft.functions.expressions.SketchKernels.bandKeys($m, $bands, $rowsPerBand, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `caption_minhash(text)` — string sketcher, codegen'd (the flagship
+  * hot path; the UDF twin in GraftFunctions is the differential oracle). */
+case class CaptionMinhash(child: Expression, ksize: Int, num: Int, maxHash: Long, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    SketchKernels.captionMinhash(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ksize, num, maxHash, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.expressions.SketchKernels.captionMinhash($s, $ksize, $num, ${maxHash}L, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `caption_simhash(text)` — 64-bit SimHash fingerprint, codegen'd. */
+case class CaptionSimhash(child: Expression, ksize: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    SketchKernels.captionSimhash(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ksize, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.expressions.SketchKernels.captionSimhash($s, $ksize, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `image_minhash(bytes, fmt)` — decode → normalize → sketch, codegen'd. */
+case class ImageMinhash(left: Expression, right: Expression,
+    ksize: Int, num: Int, maxHash: Long, seed: Long, stride: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(b: Any, f: Any): Any =
+    SketchKernels.imageMinhash(b.asInstanceOf[Array[Byte]],
+      f.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      ksize, num, maxHash, seed, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, f) =>
+      s"graft.functions.expressions.SketchKernels.imageMinhash($b, $f, $ksize, $num, ${maxHash}L, ${seed}L, $stride)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -59,41 +59,17 @@ object Lsh {
       .withColumn("bn", count(lit(1)).over(w))
       .where($"bn" >= 2 && $"bn" <= $"cap")
 
-    val isLong = banded.schema("id").dataType ==
-      org.apache.spark.sql.types.LongType
-
+    // In-bucket pair generation with BUILT-IN expressions only (no UDF
+    // encoder round-trip, type-generic over Long/String ids): sort the
+    // distinct members, explode the anchor index i, then explode the
+    // tail slice — every b after the anchor. a < b holds by sort order.
     val grouped = kept.groupBy($"bandKey").agg(collect_list($"id").as("ids"))
-    val pairs =
-      if (isLong) {
-        val pairGen = udf((ids: Seq[Long]) => {
-          val sorted = ids.sorted.distinct.toArray
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-            sorted.length * (sorted.length - 1) / 2)
-          var i = 0
-          while (i < sorted.length) {
-            var j = i + 1
-            while (j < sorted.length) { out += ((sorted(i), sorted(j))); j += 1 }
-            i += 1
-          }
-          out.toArray
-        })
-        grouped.select(explode(pairGen($"ids")).as("p"))
-      } else {
-        val pairGen = udf((ids: Seq[String]) => {
-          val sorted = ids.sorted.distinct.toArray
-          val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
-            sorted.length * (sorted.length - 1) / 2)
-          var i = 0
-          while (i < sorted.length) {
-            var j = i + 1
-            while (j < sorted.length) { out += ((sorted(i), sorted(j))); j += 1 }
-            i += 1
-          }
-          out.toArray
-        })
-        grouped.select(explode(pairGen($"ids")).as("p"))
-      }
-    pairs.select($"p._1".as("a"), $"p._2".as("b"))
+    grouped
+      .select(array_sort(array_distinct($"ids")).as("ids"))
+      .where(size($"ids") >= 2) // distinct could collapse a bucket below 2
+      .select($"ids", explode(sequence(lit(0), size($"ids") - 2)).as("i"))
+      .select(element_at($"ids", $"i" + 1).as("a"),
+        explode(slice($"ids", $"i" + 2, size($"ids"))).as("b"))
       .dropDuplicates("a", "b")
   }
 

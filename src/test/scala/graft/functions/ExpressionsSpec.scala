@@ -60,6 +60,32 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native sketchers == UDF oracles over corpus rows (incl. all dup kinds)") {
+    import spark.implicits._
+    val cfg = SketchConfig(num = 128, ksize = 4)
+    val imgCfg = SketchConfig(num = 128, ksize = 16)
+    val corpus = graft.sources.SyntheticCorpus.corpus(spark, 400).toDF()
+    val out = corpus.select(
+      captionMinhash($"caption", cfg).as("cm_n"),
+      captionMinhashUdf($"caption", cfg).as("cm_u"),
+      captionSimhash($"caption", cfg.ksize).as("cs_n"),
+      captionSimhashUdf($"caption", cfg.ksize).as("cs_u"),
+      imageMinhash($"bytes", $"fmt", imgCfg).as("im_n"),
+      imageMinhashUdf($"bytes", $"fmt", imgCfg).as("im_u")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), "caption minhash mismatch")
+      assert(r.getLong(2) === r.getLong(3), "caption simhash mismatch")
+      assert(r.getSeq[Long](4) === r.getSeq[Long](5), "image minhash mismatch")
+    }
+    // null contract matches the UDF twins: empty sketch / 0L
+    val nulls = Seq((null: String, null: Array[Byte], null: String))
+      .toDF("caption", "bytes", "fmt")
+      .select(captionMinhash($"caption", cfg), captionSimhash($"caption", cfg.ksize),
+        imageMinhash($"bytes", $"fmt", imgCfg)).head()
+    assert(nulls.getSeq[Long](0).isEmpty && nulls.getLong(1) === 0L &&
+      nulls.getSeq[Long](2).isEmpty)
+  }
+
   test("expressions stay inside whole-stage codegen (no eval fallback)") {
     import spark.implicits._
     // materialize to parquet first: a purely-local relation would be
