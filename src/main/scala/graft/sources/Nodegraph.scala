@@ -16,13 +16,20 @@ import java.nio.{ByteBuffer, ByteOrder}
  * recombination (`update`) test vectors.
  *
  * @param ksize        k-mer size the graph was built with
- * @param occupiedBins occupancy metadata as stored (khmer-compatible)
+ * @param occupiedBins occupancy metadata (khmer-compatible): incremented
+ *                     per newly set bit in EVERY table by [[count]]
+ *                     (`nodegraph.rs:34-43`); deliberately NOT adjusted by
+ *                     [[update]], replicating the reference's quirk
+ *                     (`nodegraph.rs:85-88`, "occupied bins seems to be
+ *                     broken in khmer" — the increment stays commented
+ *                     out there, so recombined graphs serialize the
+ *                     pre-union count)
  * @param tableSizes   prime table sizes, one per Bloom table
  * @param tables       bit tables, LSB-first within each byte
  */
 final case class Nodegraph(
     ksize: Int,
-    occupiedBins: Long,
+    var occupiedBins: Long,
     tableSizes: Array[Long],
     tables: Array[java.util.BitSet]) {
 
@@ -38,14 +45,16 @@ final case class Nodegraph(
     1
   }
 
-  /** Insert; returns true when the hash set at least one new bit in every
-    * table (the reference's is_new_kmer, `nodegraph.rs:33-48`). */
+  /** Insert; returns true when the hash set at least one new bit in any
+    * table (the reference's is_new_kmer, `nodegraph.rs:34-49`), tracking
+    * `occupied_bins` per newly set bit so [[toBytes]] of a built graph
+    * serializes reference-equal metadata. */
   def count(hash: Long): Boolean = {
     var isNew = false
     var t = 0
     while (t < tables.length) {
       val bin = java.lang.Long.remainderUnsigned(hash, tableSizes(t)).toInt
-      if (!tables(t).get(bin)) { tables(t).set(bin); isNew = true }
+      if (!tables(t).get(bin)) { tables(t).set(bin); occupiedBins += 1; isNew = true }
       t += 1
     }
     isNew

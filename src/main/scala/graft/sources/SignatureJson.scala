@@ -160,8 +160,16 @@ object SignatureJson {
   def write(df: DataFrame, dir: String): Unit = {
     toJson(df).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.foreach { r =>
-        val name = r.getString(0).replaceAll("[^A-Za-z0-9._+-]", "_")
-        val p = java.nio.file.Paths.get(dir, name + ".sig")
+        // sanitization can alias distinct group names ('a/b' vs 'a:b') and
+        // coalesced names can repeat across groups — disambiguate with a
+        // stable md5-of-content suffix: no two distinct groups share a
+        // path, and identical content rewrites itself harmlessly
+        val raw = r.getString(0)
+        val safe = raw.replaceAll("[^A-Za-z0-9._+-]", "_")
+        val suffix = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(4).map(b => f"$b%02x").mkString
+        val p = java.nio.file.Paths.get(dir, s"$safe.$suffix.sig")
         java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.writeString(p, r.getString(1))
       }

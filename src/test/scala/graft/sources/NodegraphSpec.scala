@@ -56,6 +56,23 @@ class NodegraphSpec extends AnyFunSuite {
     }
   }
 
+  test("count() tracks occupied_bins per newly set bit and serializes it") {
+    val ng = Nodegraph.empty(Array(97L, 89L), 3)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 100) ng.count(rnd.nextLong())
+    val setBits = ng.tables.map(_.cardinality().toLong).sum
+    assert(ng.occupiedBins === setBits, "one increment per newly set bit across ALL tables")
+    assert(ng.occupiedBins > 0)
+    val rt = Nodegraph.fromBytes(ng.toBytes)
+    assert(rt.occupiedBins === ng.occupiedBins, "n_occupied no longer serializes as 0")
+    // reference quirk: update() does NOT adjust occupied_bins (nodegraph.rs:85-88)
+    val before = ng.occupiedBins
+    val other = Nodegraph.empty(Array(97L, 89L), 3)
+    other.count(12345L)
+    ng.update(other)
+    assert(ng.occupiedBins === before)
+  }
+
   test("SBT v5 root bloom has no false negatives over all leaf hashes") {
     assume(new java.io.File(s"$data/.sbt.v5/internal.0").isFile)
     val spark = graft.operators.SparkTestSession.spark

@@ -84,6 +84,20 @@ class SignatureSpec extends AnyFunSuite {
       assert(r.getAs[String]("md5sum") === r.getAs[String]("md5r"), r.toString))
   }
 
+  test("S6 file sink: sanitize-aliased group names do not overwrite each other") {
+    assumeFixtures()
+    val dir = java.nio.file.Files.createTempDirectory("sig_alias").toString
+    val db = SignatureJson.read(spark, s"$refData/genome-s10+s11.sig")
+    // 'a/b' and 'a:b' both sanitize to 'a_b' — the content-hash suffix
+    // must keep them as two distinct files
+    val d1 = db.withColumn("filename", org.apache.spark.sql.functions.lit("a/b"))
+    val d2 = db.withColumn("filename", org.apache.spark.sql.functions.lit("a:b"))
+    SignatureJson.write(d1.union(d2), dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".sig"))
+    assert(files.length === 2, files.map(_.getName).mkString(","))
+    assert(files.forall(_.getName.startsWith("a_b.")))
+  }
+
   test("add_sequence parity: sketching a DNA string reproduces a stored fixture-style sketch") {
     // build a sketch from sequence through the kernel path and verify the
     // md5sum rule matches a direct recomputation (full S2->K4->K2->S6 chain)
