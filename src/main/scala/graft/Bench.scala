@@ -14,7 +14,7 @@ import graft.sources.SyntheticCorpus
  *     throughput at N vs 4N executors, efficiency ≥ 0.8): the SAME corpus
  *     with the SAME job config (shuffle width 64, generation split 64)
  *     is clustered at `local[1]` and `local[4]` in fresh sessions,
- *     interleaved min-of-2 per arm (sandbox wall-clock noise reaches
+ *     interleaved min-of-3 per arm (sandbox wall-clock noise reaches
  *     2.6×), and images/sec is reported for both.
  *
  *     Why 1→4: the criterion scales EXECUTORS — each added executor
@@ -136,16 +136,15 @@ object Bench {
 
     // N=1 vs 4N=4 (executor-scaling analog; rationale in the header).
     // Sandbox wall-clock noise between identical runs reaches 2.6x —
-    // interleave the arms and take the per-arm minimum (least-contended
-    // sample). The 4-core arm is the contention-fragile one (observed
-    // spread 71-87 s for identical runs while the 1-core arm holds ±1%),
-    // so it gets three samples to the 1-core arm's two. A provisional
-    // result line is emitted as soon as both arms have a sample and
-    // refined after each further sample, so a truncated run still leaves
-    // a parseable record — the final line supersedes it.
+    // interleave the arms and take the per-arm MINIMUM of THREE samples
+    // each (round-2 ran 3/2 and its full-run efficiencies straddled the
+    // gate at 0.767-0.945; min-of-3 on both arms narrows the noise band).
+    // A provisional result line is emitted as soon as both arms have a
+    // sample and refined after each further sample, so a truncated run
+    // still leaves a parseable record — the final line supersedes it.
     var sec4 = Double.MaxValue
     var sec1 = Double.MaxValue
-    for (c <- Seq(4, 1, 4, 1, 4)) {
+    for (c <- Seq(4, 1, 4, 1, 4, 1)) {
       val t = flagship(c)
       if (c == 4) sec4 = math.min(sec4, t) else sec1 = math.min(sec1, t)
       if (sec4 < Double.MaxValue && sec1 < Double.MaxValue) emit(sec1, sec4, "")
