@@ -770,14 +770,14 @@ object Queries {
    */
   // m02 @ n=5000: (fmt, n, min_mean_px, max_mean_px, n_phash)
   val m02Expected: Seq[(String, Long, Long, Long, Long)] = Seq(
-    ("jpg", 28L, 106L, 150L, 28L),
-    ("png", 42L, 99L, 148L, 42L),
-    ("ppm", 4895L, 87L, 169L, 4749L),
-    ("ppmq", 35L, 100L, 169L, 34L))
+    ("jpg", 32L, 100L, 150L, 32L),
+    ("png", 30L, 104L, 152L, 30L),
+    ("ppm", 4865L, 87L, 169L, 4749L),
+    ("ppmq", 73L, 97L, 160L, 73L))
   // m03 @ n=2000: (stage, rows_out)
   val m03Expected: Seq[(String, Long)] = Seq(
-    ("sketches", 2000L), ("exact_tagged", 2000L), ("exact_edges", 17L),
-    ("candidates", 9667L), ("near_edges", 85L), ("clusters", 2000L))
+    ("sketches", 2000L), ("exact_tagged", 2000L), ("exact_edges", 11L),
+    ("candidates", 9736L), ("near_edges", 97L), ("clusters", 2000L))
 
   private val multimodalOracles: Map[String, String] = Map(
     // deterministic decode statistics of the fixed synthetic corpus

@@ -1,0 +1,132 @@
+package graft.core
+
+/**
+ * Generalized suffix array over two strings — the exact-substring pass of
+ * the north rule ("suffix-array exact-substring pass for caption
+ * near-dupes"). The pair's captions are concatenated with a sentinel,
+ * indexed with a prefix-doubling suffix array (O(n log n), allocation-lean
+ * packed-long sort) plus Kasai's LCP, and the longest common substring is
+ * the maximum LCP between lexicographically adjacent suffixes owned by
+ * different strings.
+ *
+ * Why this instead of `contains()`: containment of the shorter caption is
+ * the special case `lcs == min(len)`; the suffix array additionally finds
+ * long shared chunks when BOTH captions carry novel text around the chunk
+ * (head/tail rewrites — the common human near-dupe edit), which no
+ * substring predicate can express.
+ *
+ * Cost model at scale: runs per LSH-gated CONFIRM pair on caption-length
+ * strings (10² chars) — linearithmic per pair, linear in candidate count,
+ * embarrassingly parallel, no state across rows.
+ */
+object SuffixArrays {
+
+  /** Max supported combined length: ranks+index are packed 21/21/21 into
+    * one long for the unboxed sort. Captions are orders of magnitude
+    * shorter; longer payloads should be fingerprinted, not suffix-sorted,
+    * per pair. */
+  val MaxLen: Int = (1 << 21) - 2
+
+  /**
+   * Suffix array of `s` (any non-negative ints) by prefix doubling.
+   * Each round sorts packed longs `(rank[i]+1) << 42 | (rank[i+k]+1) << 21 | i`
+   * — single primitive-array sort per round, no comparators, no boxing.
+   */
+  def suffixArray(s: Array[Int]): Array[Int] = {
+    val n = s.length
+    require(n <= MaxLen, s"suffixArray input length $n exceeds $MaxLen")
+    if (n == 0) return Array.emptyIntArray
+    val idxMask = (1L << 21) - 1
+    var rank = new Array[Int](n)
+    var next = new Array[Int](n)
+    val keys = new Array[Long](n)
+    // initial ranks: the symbol values themselves (dense enough — order only)
+    var i = 0
+    while (i < n) { rank(i) = s(i); i += 1 }
+    var k = 1
+    var done = false
+    while (!done) {
+      i = 0
+      while (i < n) {
+        val r2 = if (i + k < n) rank(i + k) + 1L else 0L
+        keys(i) = ((rank(i) + 1L) << 42) | (r2 << 21) | i
+        i += 1
+      }
+      java.util.Arrays.sort(keys)
+      // re-rank: adjacent keys with equal (r1, r2) share a rank
+      var r = 0
+      next((keys(0) & idxMask).toInt) = 0
+      i = 1
+      while (i < n) {
+        if ((keys(i) >>> 21) != (keys(i - 1) >>> 21)) r += 1
+        next((keys(i) & idxMask).toInt) = r
+        i += 1
+      }
+      val t = rank; rank = next; next = t
+      done = r == n - 1 || k >= n
+      k <<= 1
+    }
+    val sa = new Array[Int](n)
+    i = 0
+    while (i < n) { sa(rank(i)) = i; i += 1 }
+    sa
+  }
+
+  /** Kasai LCP: `lcp(i)` = longest common prefix of suffixes `sa(i-1)`
+    * and `sa(i)`; `lcp(0) = 0`. O(n). */
+  def lcpArray(s: Array[Int], sa: Array[Int]): Array[Int] = {
+    val n = s.length
+    val rank = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(sa(i)) = i; i += 1 }
+    val lcp = new Array[Int](n)
+    var h = 0
+    i = 0
+    while (i < n) {
+      if (rank(i) > 0) {
+        val j = sa(rank(i) - 1)
+        while (i + h < n && j + h < n && s(i + h) == s(j + h)) h += 1
+        lcp(rank(i)) = h
+        if (h > 0) h -= 1
+      } else h = 0
+      i += 1
+    }
+    lcp
+  }
+
+  /**
+   * Length of the longest common substring of `a` and `b` (0 if either is
+   * empty). Adjacent-suffix scan over the generalized suffix array of
+   * `a + SEP + b`: any common substring is a common prefix of one suffix
+   * from each side, and the max such prefix appears between two suffixes
+   * that are ADJACENT in suffix order (anything between them shares at
+   * least that prefix).
+   */
+  def lcsLen(a: String, b: String): Int = {
+    val n = a.length
+    val m = b.length
+    if (n == 0 || m == 0) return 0
+    val total = n + 1 + m
+    val s = new Array[Int](total)
+    var i = 0
+    while (i < n) { s(i) = a.charAt(i) + 2; i += 1 }
+    s(n) = 1 // sentinel below every char code; never matches either side
+    i = 0
+    while (i < m) { s(n + 1 + i) = b.charAt(i) + 2; i += 1 }
+    val sa = suffixArray(s)
+    val lcp = lcpArray(s, sa)
+    var best = 0
+    i = 1
+    while (i < total) {
+      if (lcp(i) > best) {
+        // suffix at the sentinel position n starts with SEP — its LCP with
+        // anything is 0, so it never reaches here; < n ⇔ owned by `a`
+        val fromA = sa(i - 1) < n
+        val fromB = sa(i) < n
+        if (fromA != fromB) best = lcp(i)
+      }
+      i += 1
+    }
+    best
+  }
+}

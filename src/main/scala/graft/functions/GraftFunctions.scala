@@ -58,6 +58,21 @@ object GraftFunctions {
     f(caption)
   }
 
+  /** Longest-common-substring length of two strings via a generalized
+    * suffix array — the north rule's exact-substring caption pass
+    * (containment is the special case `lcs == min(length)`). Native
+    * codegen'd expression; null on null input. */
+  def captionLcs(a: Column, b: Column): Column =
+    Bridge.column(expressions.CaptionLcs(Bridge.expression(a), Bridge.expression(b)))
+
+  /** UDF formulation of [[captionLcs]] — differential-test oracle. */
+  def captionLcsUdf(a: Column, b: Column): Column = {
+    val f = udf((x: String, y: String) =>
+      if (x == null || y == null) null
+      else java.lang.Integer.valueOf(SuffixArrays.lcsLen(x, y)))
+    f(a, b)
+  }
+
   /**
    * Image MinHash sketch: decode → coarse-normalize pixels → byte-shingle
    * → bottom-num mins. Unknown formats fall back to raw-byte shingles (the

@@ -158,6 +158,12 @@ object SketchKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Longest common substring of two UTF8 strings via a generalized
+    * suffix array — the north rule's exact-substring caption pass. */
+  def captionLcs(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Int =
+    graft.core.SuffixArrays.lcsLen(a.toString, b.toString)
 }
 
 /** `dot_product(a, b)` over ARRAY<DOUBLE> — no intermediate array (the
@@ -250,6 +256,22 @@ case class ImageMinhash(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (b, f) =>
       s"graft.functions.expressions.SketchKernels.imageMinhash($b, $f, $ksize, $num, ${maxHash}L, ${seed}L, $stride)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `caption_lcs(a, b)` — longest-common-substring length via a
+  * generalized suffix array (codegen'd; confirm-stage substring pass). */
+case class CaptionLcs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.captionLcs(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.SketchKernels.captionLcs($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

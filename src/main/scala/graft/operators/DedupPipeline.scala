@@ -135,18 +135,49 @@ object DedupPipeline {
       skReps.select(col("vid").as("id"),
         fingerprintBands(col("cap_simhash"), cfg.fpBands).as("bk")),
       "id", "bk", sourceTag = 4)
+    // full-phash equality as its own source: saturated/degenerate phash
+    // values (all-dark images, flat gradients) make every 16-bit BLOCK
+    // bucket boilerplate-hot — the pigeonhole blocks of a ham-0 pair all
+    // get dropped by fpMaxBucket. Exact-64-bit groups stay tiny (block
+    // heat comes from unrelated hashes sharing one block), so they take
+    // the standard cap and recover exactly those pairs.
+    val phx = Lsh.explodeBands(
+      skReps.select(col("vid").as("id"), array(col("phash")).as("bk")),
+      "id", "bk", sourceTag = 5)
     // MinHash buckets are diverse after exact-dedup (cap 64); 16-bit
     // fingerprint blocks collide heavily on correlated real-world content,
     // so they get a much tighter cap — their recall role is redundant with
     // the MinHash paths except for doubly-perturbed rows. One shared
     // bucket shuffle; per-source caps ride along as a column.
     Lsh.candidatePairsCapped(
-      cap.union(img).withColumn("cap", lit(cfg.maxBucket))
+      cap.union(img).union(phx).withColumn("cap", lit(cfg.maxBucket))
         .union(ph.union(sh).withColumn("cap", lit(cfg.fpMaxBucket))))
   }
 
-  /** Confirm candidates with reference-semantics scores; emit edges. */
-  def confirm(cands: DataFrame, sk: DataFrame, cfg: DedupConfig): DataFrame = {
+  /** Per-rule edge predicates over a [[scores]] frame — split out so the
+    * spec layer can attribute each caught pair to the rule that caught it. */
+  def edgeRules(cfg: DedupConfig): Seq[(String, Column)] = Seq(
+    "img_minhash" -> (col("img_sim") >= cfg.tauImg),
+    "cap_minhash" -> (col("cap_sim") >= cfg.tauCap),
+    "phash_corrob" -> (col("ph_ham") <= cfg.phashMaxHamming && col("cap_sim") >= 0.3),
+    "simhash_corrob" -> (col("sh_ham") <= cfg.simhashMaxHamming &&
+      col("cap_sim") >= cfg.tauCapCorroborated),
+    // a >=20-char shared caption chunk needs corroboration before it may
+    // glue clusters: near-total sketch containment (the capsub shape) or
+    // a near-identical perceptual hash (the head-rewrite shape, where
+    // jaccard/containment/simhash all go cold)
+    "suffix_lcs" -> (col("substr_hit") &&
+      (col("cap_contain") >= 0.9 || col("ph_ham") <= cfg.phashMaxHamming) &&
+      (col("img_sim") >= 0.15 || col("ph_ham") <= 8)))
+
+  /** OR of all [[edgeRules]] — the confirm filter. */
+  def edgeRule(cfg: DedupConfig): Column =
+    edgeRules(cfg).map(_._2).reduce(_ || _)
+
+  /** Candidate scoring: reference-semantics similarity/containment plus
+    * fingerprint distances and the suffix-array substring pass, one row
+    * per candidate pair. [[confirm]] = scores.where(edgeRule). */
+  def scores(cands: DataFrame, sk: DataFrame, cfg: DedupConfig): DataFrame = {
     val a = sk.select(
       col("vid").as("a"), col("cap_mins").as("cap_a"), col("img_mins").as("img_a"),
       col("cap_simhash").as("sh_a"), col("phash").as("ph_a"), col("cap_norm").as("cn_a"))
@@ -163,21 +194,20 @@ object DedupPipeline {
       .withColumn("cap_contain",
         greatest(containment(col("cap_a"), col("cap_b")),
           containment(col("cap_b"), col("cap_a"))))
-      .withColumn("substr_hit",
-        (length(col("cn_a")) >= cfg.substringMinLen && length(col("cn_b")) >= cfg.substringMinLen) &&
-          (col("cn_a").contains(col("cn_b")) || col("cn_b").contains(col("cn_a"))))
+      // exact-substring pass (north rule): generalized-suffix-array
+      // longest common substring. Containment of the shorter caption is
+      // the special case lcs == min(len); unlike contains(), this also
+      // catches head/tail caption rewrites that keep a long shared chunk
+      .withColumn("cap_lcs", captionLcs(col("cn_a"), col("cn_b")))
+      .withColumn("substr_hit", col("cap_lcs") >= cfg.substringMinLen)
+    scored
+  }
 
-    scored.where(
-      col("img_sim") >= cfg.tauImg ||
-        col("cap_sim") >= cfg.tauCap ||
-        (col("ph_ham") <= cfg.phashMaxHamming && col("cap_sim") >= 0.3) ||
-        (col("sh_ham") <= cfg.simhashMaxHamming &&
-          col("cap_sim") >= cfg.tauCapCorroborated) ||
-        (col("substr_hit") && col("cap_contain") >= 0.9 &&
-          (col("img_sim") >= 0.15 || col("ph_ham") <= 8)))
+  /** Confirm candidates with reference-semantics scores; emit edges. */
+  def confirm(cands: DataFrame, sk: DataFrame, cfg: DedupConfig): DataFrame =
+    scores(cands, sk, cfg).where(edgeRule(cfg))
       .select(col("a"), col("b"), col("img_sim"), col("cap_sim"),
         col("ph_ham"), col("sh_ham"))
-  }
 
   /**
    * Full pipeline: corpus → (image_id, cluster, cluster_size).

@@ -46,6 +46,11 @@ final case class DupLabel(dup_id: String, src_id: String, kind: String)
  *  - `jpgenc`   — same pixels re-encoded through a real JPEG container
  *                 (lossy: decoded pixels ≈ source at PSNR ≥ 40 dB; caught
  *                 by the decode→normalize→sketch path and phash)
+ *  - `capedit`  — caption head rewritten (only the trailing clause
+ *                 survives) + image re-quantized: caption jaccard,
+ *                 containment, and simhash all go cold and the pixel
+ *                 shingles change — caught ONLY by the suffix-array
+ *                 exact-substring pass corroborated by phash
  */
 object SyntheticCorpus {
 
@@ -128,7 +133,7 @@ object SyntheticCorpus {
   /** Number of base (original) rows for a total row count. */
   def nBase(nTotal: Long): Long = (nTotal * (1.0 - DUP_FRACTION)).toLong
 
-  private val dupKinds = Array("exact", "noise", "reencode", "caption", "capsub", "pngenc", "jpgenc")
+  private val dupKinds = Array("exact", "noise", "reencode", "caption", "capsub", "pngenc", "jpgenc", "capedit")
 
   /** Dup plan for a dup row id (id >= nBase): (srcId, kind). */
   def dupPlan(id: Long, nBaseRows: Long): (Long, String) = {
@@ -190,6 +195,23 @@ object SyntheticCorpus {
           val dec = ImageCodec.decode(bytes, "jpg").get
           ImageRow(s"img_$id", bytes, W, H, "jpg",
             cap0, ImageCodec.phash64(dec.rgb, W, H))
+        case "capedit" =>
+          // head rewrite: only the trailing "photographed on day N"
+          // clause (>= 21 chars) survives; everything before it is
+          // re-drawn fresh, so caption jaccard/containment/simhash all
+          // drop below their corroboration floors. The image is
+          // re-quantized (reencode-style) so the pixel-shingle path stays
+          // cold too: detection requires the suffix-array LCS pass
+          // corroborated by the near-identical phash.
+          val rgb = ImageCodec.quantize(rgb0, 4)
+          val tail = cap0.split(' ').takeRight(4).mkString(" ")
+          def adj() = adjectives(r.nextInt(adjectives.length))
+          def noun() = nouns(r.nextInt(nouns.length))
+          def place() = places(r.nextInt(places.length))
+          val head = s"a ${adj()} ${noun()} ${verbs(r.nextInt(verbs.length))} " +
+            s"a ${adj()} ${noun()} toward ${place()} and ${place()}"
+          ImageRow(s"img_$id", ImageCodec.encodePpm(rgb, W, H), W, H, "ppmq",
+            s"$head $tail", ImageCodec.phash64(rgb, W, H))
       }
     }
   }

@@ -86,6 +86,32 @@ class ExpressionsSpec extends AnyFunSuite {
       nulls.getSeq[Long](2).isEmpty)
   }
 
+  test("native caption_lcs == UDF oracle over corpus caption pairs") {
+    import spark.implicits._
+    val corpus = graft.sources.SyntheticCorpus.corpus(spark, 300).toDF()
+      .select($"image_id", lower(trim($"caption")).as("cap"))
+    // all consecutive-id pairs + self-pairs: mixes unrelated captions,
+    // dup-perturbed captions, and identical strings
+    val a = corpus.withColumn("k", expr("xxhash64(image_id) % 50"))
+    val b = a.select($"k", $"cap".as("cap2"))
+    val out = a.join(b, "k").limit(2000)
+      .select(captionLcs($"cap", $"cap2").as("n"),
+        captionLcsUdf($"cap", $"cap2").as("u"),
+        $"cap", $"cap2").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1), s"'${r.getString(2)}' vs '${r.getString(3)}'")
+      // identity sanity: lcs(x, x) == len(x)
+    }
+    val self = corpus.select(captionLcs($"cap", $"cap").as("n"), length($"cap").as("l"))
+      .where($"n" =!= $"l").count()
+    assert(self === 0L)
+    // null contract: null in → null out (both formulations)
+    val nulls = Seq((null: String, "x")).toDF("a", "b")
+      .select(captionLcs($"a", $"b"), captionLcsUdf($"a", $"b")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("expressions stay inside whole-stage codegen (no eval fallback)") {
     import spark.implicits._
     // materialize to parquet first: a purely-local relation would be

@@ -56,7 +56,7 @@ class PipelineSpec extends AnyFunSuite {
         // lossy (simulated ppmq or real JPEG container): decoded pixels
         // vs the SOURCE row's pixels must hold the ≥ 40 dB invariant
         val (src, kind) = SyntheticCorpus.dupPlan(id, base)
-        assert(kind === "reencode" || kind === "jpgenc", kind)
+        assert(kind === "reencode" || kind === "jpgenc" || kind === "capedit", kind)
         val orig = SyntheticCorpus.genPixels(src)
         val p = ImageCodec.psnr(dec.rgb, orig)
         assert(p >= 40.0, s"PSNR $p < 40 for ${r.image_id} ($kind)")
@@ -162,6 +162,38 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet === Set(0L))
     assert(labels.size === 201)
+  }
+
+  test("capedit pairs are caught by the suffix-array LCS rule, cold on all others") {
+    val n = 2000L
+    val cfg = DedupConfig()
+    val corpus = SyntheticCorpus.corpus(spark, n).toDF()
+    val sk = DedupPipeline.sketches(corpus, cfg).cache()
+    val gt = SyntheticCorpus.groundTruth(spark, n).toDF()
+      .where($"kind" === "capedit")
+      .select(xxhash64($"dup_id").as("a"), xxhash64($"src_id").as("b"))
+    val nPairs = gt.count()
+    assert(nPairs > 0, "corpus must contain capedit pairs")
+    val scored = DedupPipeline.scores(gt, sk, cfg)
+    val rules = DedupPipeline.edgeRules(cfg)
+    val agg = scored.agg(
+      count(lit(1)).as("n"),
+      rules.map { case (name, c) => sum(when(c, 1).otherwise(0)).as(name) }: _*)
+      .head()
+    val byRule = rules.indices.map(i => rules(i)._1 -> agg.getLong(i + 1)).toMap
+    info(s"capedit rule hits over ${agg.getLong(0)} pairs: $byRule")
+    // every capedit pair is confirmed by the suffix-array pass...
+    assert(byRule("suffix_lcs") === nPairs, byRule.toString)
+    // ...and the pass is load-bearing: the sketch rules are cold on these
+    // pairs (head rewrite kills caption jaccard/containment/simhash;
+    // re-quantization kills pixel-shingle jaccard)
+    assert(byRule("img_minhash") === 0L, byRule.toString)
+    assert(byRule("cap_minhash") === 0L, byRule.toString)
+    assert(byRule("simhash_corrob") === 0L, byRule.toString)
+    val others = byRule("phash_corrob")
+    assert(others <= nPairs / 4,
+      s"phash_corrob catches $others of $nPairs capedit pairs — kind not cold enough")
+    sk.unpersist()
   }
 
   test("end-to-end dedup: recall >= 0.99 vs ground truth at n=2000") {
