@@ -901,7 +901,7 @@ object Queries {
   // ================================================================ sm: sourmash signature compatibility (reference fixtures)
 
   import graft.operators.SignatureSearch
-  import graft.sources.SignatureJson
+  import graft.sources.{FinchJson, SignatureJson}
 
   /** Reference fixture root (read-only); queries degrade to empty results
     * when absent so the surface stays runnable anywhere. */
@@ -980,6 +980,20 @@ object Queries {
             (col("md5sum") === col("md5_rt")).as("md5_ok"),
             (col("mins") === col("mins_rt")).as("mins_ok"))
       }
+    },
+    // K8: finch interop — From<MinHashKmers> over a deterministic
+    // finch-format fixture; the oracle re-derives the conversion from the
+    // same JSON file independently (DuckDB read_json)
+    "sm06_finch_import" -> { (s, _) =>
+      val path = s"${derivedDir("sm")}/finch_demo.json"
+      FinchJson.writeDemoFixture(path)
+      FinchJson.toMinHash(FinchJson.read(s, path))
+        .select(col("name"), col("num").cast("long").as("num"),
+          col("ksize").cast("long").as("ksize"), col("seed"), col("max_hash"),
+          size(col("mins")).cast("long").as("n_mins"),
+          element_at(col("mins"), 1).as("first_min"),
+          element_at(col("mins"), size(col("mins"))).as("last_min"),
+          expr("aggregate(abunds, 0L, (acc, x) -> acc + x)").as("sum_abund"))
     })
 
   /**
@@ -1021,6 +1035,38 @@ object Queries {
         |  ('SRR2060939_2.fastq.gz', 0.356),
         |  ('SRR2255622_1.fastq.gz', 0.086)
         |) AS t(filename, score)""".stripMargin,
+    // K8 finch conversion re-derived INDEPENDENTLY from the fixture JSON:
+    // num = entry count, ksize = first kmer's length, seed/max_hash are
+    // the from.rs constants, mins = unsigned-distinct hashes with counts
+    // merged — the engine-side SketchBuilder insertion is not consulted
+    "sm06_finch_import" ->
+      """WITH sk AS (
+        |  SELECT unnest(sketches) AS s
+        |  FROM read_json('/tmp/graft_derived/sm/finch_demo.json',
+        |    columns = {sketches: 'STRUCT(name VARCHAR, seqLength BIGINT,
+        |      numValidKmers BIGINT, comment VARCHAR,
+        |      hashes STRUCT(hash HUGEINT, kmer VARCHAR, count BIGINT,
+        |      extra_count BIGINT)[])[]'})),
+        |ent AS (
+        |  SELECT s.name AS name, len(s.hashes) AS num,
+        |         length(s.hashes[1].kmer) AS ksize, unnest(s.hashes) AS h
+        |  FROM sk),
+        |g AS (
+        |  SELECT name, num, ksize, CAST(h.hash AS HUGEINT) AS u,
+        |         SUM(h.count) AS a
+        |  FROM ent GROUP BY 1, 2, 3, 4),
+        |agg AS (
+        |  SELECT name, num, ksize, COUNT(*) AS n_mins, MIN(u) AS first_u,
+        |         MAX(u) AS last_u, CAST(SUM(a) AS BIGINT) AS sum_abund
+        |  FROM g GROUP BY 1, 2, 3)
+        |SELECT name, num, ksize, CAST(42 AS BIGINT) AS seed,
+        |       CAST(0 AS BIGINT) AS max_hash, n_mins,
+        |       CAST(CASE WHEN first_u > 9223372036854775807
+        |            THEN first_u - 18446744073709551616 ELSE first_u END AS BIGINT) AS first_min,
+        |       CAST(CASE WHEN last_u > 9223372036854775807
+        |            THEN last_u - 18446744073709551616 ELSE last_u END AS BIGINT) AS last_min,
+        |       sum_abund
+        |FROM agg""".stripMargin,
     // stage rows derived per m03Expected (see the scaladoc there)
     "m03_checkpointed_lineage" ->
       ("SELECT * FROM (VALUES\n" +

@@ -133,6 +133,30 @@ final class SketchBuilder(val cfg: SketchConfig) {
 
   def addMany(hashes: Iterable[Long]): Unit = hashes.foreach(addHash)
 
+  /** Batch form of `count` repeated [[addHash]] calls with one hash —
+    * the reference's `add_many_with_abund` inner loop
+    * (`/root/reference/src/lib.rs:419-426` literally calls `add_hash`
+    * `count` times). After the first call either the hash is present
+    * (every further call lands in the `abunds(pos) += 1` branch) or it
+    * was rejected/evicted (every further call is the same no-op), so the
+    * loop collapses to one `+= count - 1`. KernelSpec asserts the
+    * equivalence differentially. */
+  def addHashWithCount(hash: Long, count: Long): Unit = {
+    if (count <= 0L) return // the reference loops zero times
+    addHash(hash)
+    if (abunds != null && count > 1L) {
+      val pos = lowerBound(hash)
+      // replicate addHash's outer guard for the repeat calls: when the
+      // hash IS the largest min of a full bottom-k sketch (and out of
+      // scaled range), add_hash skips the whole branch and the abundance
+      // does NOT grow — reference quirk, lib.rs:203-207
+      if (pos < mins.length && mins(pos) == hash &&
+          (U64.le(hash, cfg.maxHash) || U64.gt(mins.last, hash) ||
+            mins.length < cfg.num))
+        abunds(pos) += count - 1L
+    }
+  }
+
   def result(): Array[Long] = mins.toArray
 
   def abundances(): Array[Long] = if (abunds == null) null else abunds.toArray
