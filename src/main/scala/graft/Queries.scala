@@ -670,6 +670,24 @@ object Queries {
       val emb = t(s, d, "embeddings")
       Similarity.lshPairs(emb, "vec_id", "embedding",
         minCos = 0.45, dim = 64, nRows = emb.count())
+    },
+    // the cell-partitioned ANN variant: IVF with a Lloyd-trained coarse
+    // quantizer (deterministic sample init), nProbe-cell search, exact
+    // in-cell rerank. The trained codebook is dumped; the oracle
+    // re-derives assignment, probing, and rerank from the raw table +
+    // that codebook
+    "e04_ivf_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      // cell count scales with the table (≈ n/16 rows per cell, like
+      // FAISS's nlist sizing); the 8-cell probe is then a fixed scan
+      // fraction (~n/4). Tiny tables degenerate toward brute force —
+      // correct: IVF only pays past ~10³ rows per cell budget.
+      // Footer-cheap count.
+      val nCells = math.max(4, math.min(32, (emb.count() / 16).toInt))
+      val codebook = dumpDerived(s, d, "e04_centroids")(
+        Similarity.ivfTrain(emb, "vec_id", "embedding", nCells = nCells, dim = 64))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", codebook, k = 5,
+        nProbe = math.min(8, nCells))
     })
 
   private val embeddingOracles: Map[String, String] = Map(
@@ -703,7 +721,36 @@ object Queries {
         |    sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS cos
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.e, b.e) /
-        |  sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) >= 0.45""".stripMargin)
+        |  sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) >= 0.45""".stripMargin,
+    // full IVF replica from the raw table + the dumped trained codebook:
+    // nearest-centroid assignment (crk=1 = home cell), 4-cell probing,
+    // exact rerank within probed cells, top-5
+    "e04_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cv AS (SELECT cell, cv::DOUBLE[] AS ce
+        |       FROM read_parquet(${oraclePath("e04_centroids")})),
+        |scored AS (
+        |  SELECT v.vec_id AS id, cv.cell,
+        |    round(list_dot_product(v.e, cv.ce) /
+        |      sqrt(list_dot_product(v.e, v.e) * list_dot_product(cv.ce, cv.ce)), 6) AS csim
+        |  FROM v CROSS JOIN cv),
+        |ranked AS (
+        |  SELECT id, cell,
+        |    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell) AS crk
+        |  FROM scored),
+        |members AS (SELECT cell, id AS neighbor FROM ranked WHERE crk = 1),
+        |probes AS (SELECT id AS vec_id, cell FROM ranked WHERE crk <= 8),
+        |cand AS (
+        |  SELECT p.vec_id, m.neighbor,
+        |    round(list_dot_product(a.e, b.e) /
+        |      sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS cos
+        |  FROM probes p JOIN members m ON p.cell = m.cell AND p.vec_id <> m.neighbor
+        |  JOIN v a ON a.vec_id = p.vec_id JOIN v b ON b.vec_id = m.neighbor),
+        |rr AS (
+        |  SELECT vec_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rk
+        |  FROM cand)
+        |SELECT vec_id, neighbor, cos, rk FROM rr WHERE rk <= 5""".stripMargin)
 
   // ================================================================ m: multimodal corpus
 

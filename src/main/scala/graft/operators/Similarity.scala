@@ -170,4 +170,95 @@ object Similarity {
       .where(col("cos") >= minCos)
       .select(col("a"), col("b"), col("cos"))
   }
+
+  /**
+   * IVF coarse-quantizer training: spherical Lloyd iterations seeded by a
+   * deterministic pseudo-random sample (the `nCells` ids with the
+   * smallest `xxhash64(id)` — order- and partitioning-independent).
+   *
+   * Broadcast-model iteration, the classic distributed k-means shape
+   * (MLlib's KMeans does the same internally): each round broadcasts the
+   * nCells×dim model, assigns every vector to its max-cosine centroid in
+   * one narrow pass, and re-averages per (cell, component). Only the
+   * MODEL (nCells×dim doubles) ever reaches the driver — never data rows.
+   * Train on a sample at 10⁹-row scale; assignment quality degrades
+   * gracefully.
+   *
+   * Returns (cell: Long, cv: Array[Double]) — the trained codebook.
+   * Callers persist it (the e04 oracle re-derives the whole search from
+   * this dump); centroids are model output, bit-stable only within the
+   * run that trained them, which is exactly what a dump-based oracle
+   * needs.
+   */
+  def ivfTrain(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      dim: Int, iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    var cents: Array[(Long, Seq[Double])] =
+      v.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
+        .select(col("id"), col("v")).as[(Long, Seq[Double])].collect()
+        .zipWithIndex.map { case ((_, cv), i) => (i.toLong, cv) }
+    for (_ <- 1 to iters) {
+      val cdf = cents.toSeq.toDF("cell", "cv")
+        .withColumn("cn", dot(col("cv"), col("cv")))
+      val wc = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
+      val assigned = v.withColumn("nrm", dot(col("v"), col("v")))
+        .crossJoin(broadcast(cdf))
+        .withColumn("csim", cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")))
+        .withColumn("crk", row_number().over(wc))
+        .where(col("crk") === 1)
+      val means = assigned.groupBy(col("cell"))
+        .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("cv"))
+        .as[(Long, Seq[Double])].collect().toMap
+      // empty cells keep their previous centroid
+      cents = cents.map { case (c, old) => (c, means.getOrElse(c, old)) }
+    }
+    cents.toSeq.toDF("cell", "cv")
+  }
+
+  /**
+   * IVF (inverted-file) top-k — the cell-partitioned ANN variant
+   * alongside [[lshPairs]]: assignment of every vector to its
+   * nearest-centroid "home cell" under the trained codebook, and
+   * per-query search restricted to the `nProbe` nearest cells with exact
+   * rerank inside.
+   *
+   * Scale shape: the codebook is a tiny explicit broadcast (provably
+   * nCells rows — safe under the no-static-broadcast posture);
+   * assignment is the unavoidable n×nCells flop pass of any flat IVF
+   * (narrow, codegen'd dot products) feeding ONE window shuffle keyed by
+   * id; probing reuses the same ranked frame (crk=1 → home,
+   * crk≤nProbe → probed); the probe→member join is a cell-keyed
+   * equi-join (AQE splits hot cells). No crossJoin of the data with
+   * itself anywhere; per-query candidates ≈ nProbe·n/nCells — the
+   * scan-fraction dial that trades recall for work.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val cent = codebook.select(col("cell"), col("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+    val wc = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
+    val ranked = v.crossJoin(broadcast(cent))
+      .withColumn("csim", cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")))
+      .withColumn("crk", row_number().over(wc))
+      .where(col("crk") <= math.max(1, nProbe))
+      .select(col("id"), col("v"), col("nrm"), col("cell"), col("crk"))
+    val members = ranked.where(col("crk") === 1)
+      .select(col("cell"), col("id").as("neighbor"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val probes = ranked.select(col("id").as("vec_id"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    // each neighbor has exactly one home cell and a query probes distinct
+    // cells, so (vec_id, neighbor) is already unique — no dedup shuffle
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
+    probes.join(members, "cell")
+      .where(col("vec_id") =!= col("neighbor"))
+      .withColumn("cos", cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("vec_id"), col("neighbor"), col("cos"), col("rk"))
+  }
 }

@@ -40,6 +40,21 @@ class QueriesSpec extends AnyFunSuite {
     info(s"e03 recall vs brute force: ${lsh.size}/${brute.size}")
   }
 
+  test("e04 IVF recovers >=90% of true near-dup pairs at a bounded scan fraction") {
+    val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "e02 must yield pairs at this sf")
+    val ivf = SparkEntry.queries("e04_ivf_topk")(spark, sf)
+      .select("vec_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the dedup gate: a planted pair counts when either endpoint surfaces
+    // the other in its probed-cell top-k (edges are symmetric downstream)
+    val hit = brute.count(p => ivf(p) || ivf(p.swap))
+    assert(hit >= math.ceil(brute.size * 0.9),
+      s"e04 pair recall $hit/${brute.size} below 0.9")
+    info(s"e04 IVF pair recall vs brute force: $hit/${brute.size}")
+  }
+
   test("d06 clusters: every confirmed d04 pair lands in one cluster") {
     val assign = SparkEntry.queries("d06_doc_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
