@@ -118,6 +118,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // local-iteration mode: query surface only, stdout only (never
+    // overwrites BENCH/last_bench.json — that file is the driver record,
+    // which always includes the flagship scaling arms)
+    if (sys.env.contains("SPARK_GRAFT_SKIP_FLAGSHIP")) {
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     def emit(sec1: Double, sec4: Double, extra: String): Unit = {
       val ips1 = n / sec1
       val ips4 = n / sec4
