@@ -55,6 +55,20 @@ class QueriesSpec extends AnyFunSuite {
     info(s"e04 IVF pair recall vs brute force: $hit/${brute.size}")
   }
 
+  test("e04 plan: codebook joins broadcast; no data-with-data cartesian") {
+    // string-level check: AdaptiveSparkPlanExec does not expose its inner
+    // plan as children, so node-type traversal misses the joins
+    val plan = SparkEntry.queries("e04_ivf_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop join allowed is data × broadcast(codebook);
+    // a CartesianProduct would mean the table got crossed with itself
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the rerank top-k is pushed below the final shuffle (partial
+    // WindowGroupLimit) — the plan property that bounds rerank output
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("d06 clusters: every confirmed d04 pair lands in one cluster") {
     val assign = SparkEntry.queries("d06_doc_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
