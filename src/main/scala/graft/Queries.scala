@@ -609,6 +609,22 @@ object Queries {
           // unsigned-decimal rendering of the first fingerprint
           udf((a: Seq[Long]) => if (a.isEmpty) "" else java.lang.Long.toUnsignedString(a.head))
             .apply(col("fps")).as("first_fp"))
+    },
+    // the suffix-array kernel as a driver-gated query: exact longest
+    // common substring over the LSH candidate pairs. 120-char prefixes
+    // keep the oracle's substring-set replication quadratic in 120, not
+    // in document length; the pair set is the d03 dump (itself
+    // oracle-verified)
+    "t05_substring_pairs" -> { (s, d) =>
+      val pairs = dumpDerived(s, d, "t05_pairs")(docCandidates(s, d))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("tp"))
+      pairs
+        .join(docs.select(col("doc_id").as("a"), col("tp").as("ta")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("tp").as("tb")), "b")
+        .select(col("a"), col("b"),
+          GraftFunctions.captionLcs(col("ta"), col("tb")).cast("long").as("lcs_len"))
+        .withColumn("substr_hit", col("lcs_len") >= 20)
     })
 
   private val fingerprintOracles: Map[String, String] = Map(
@@ -649,7 +665,32 @@ object Queries {
          |fp AS (SELECT * FROM long_docs UNION ALL SELECT * FROM short_docs)
          |SELECT d.doc_id, coalesce(fp.n_fps, 0) AS n_fps,
          |  coalesce(fp.first_fp, '') AS first_fp
-         |FROM documents d LEFT JOIN fp USING (doc_id)""".stripMargin)
+         |FROM documents d LEFT JOIN fp USING (doc_id)""".stripMargin,
+    // exact LCS re-derived independently: a common substring of length L
+    // exists iff the DISTINCT substring sets of the two prefixes
+    // intersect at length L — max(length) over the set intersection IS
+    // the longest common substring. The engine's suffix array is never
+    // consulted.
+    "t05_substring_pairs" ->
+      s"""WITH cand AS (SELECT a, b FROM read_parquet(${oraclePath("t05_pairs")})),
+        |docs AS (SELECT doc_id, substring(text, 1, 120) AS tp FROM documents),
+        |pa AS (SELECT c.a, c.b, da.tp AS ta, db.tp AS tb
+        |       FROM cand c JOIN docs da ON da.doc_id = c.a
+        |       JOIN docs db ON db.doc_id = c.b),
+        |ia AS (SELECT a, b, ta, unnest(range(1, length(ta)+1))::INT AS i FROM pa),
+        |sa AS (SELECT DISTINCT a, b, substring(ta, i, l) AS s
+        |       FROM (SELECT a, b, ta, i,
+        |             unnest(range(1, length(ta)-i+2))::INT AS l FROM ia)),
+        |ib AS (SELECT a, b, tb, unnest(range(1, length(tb)+1))::INT AS i FROM pa),
+        |sb AS (SELECT DISTINCT a, b, substring(tb, i, l) AS s
+        |       FROM (SELECT a, b, tb, i,
+        |             unnest(range(1, length(tb)-i+2))::INT AS l FROM ib)),
+        |shared AS (SELECT sa.a, sa.b, max(length(sa.s)) AS lcs
+        |           FROM sa JOIN sb ON sa.a = sb.a AND sa.b = sb.b AND sa.s = sb.s
+        |           GROUP BY 1, 2)
+        |SELECT c.a, c.b, COALESCE(sh.lcs, 0) AS lcs_len,
+        |       COALESCE(sh.lcs, 0) >= 20 AS substr_hit
+        |FROM cand c LEFT JOIN shared sh ON sh.a = c.a AND sh.b = c.b""".stripMargin)
 
   // ================================================================ e: embedding similarity
 
