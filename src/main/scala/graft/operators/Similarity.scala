@@ -194,27 +194,35 @@ object Similarity {
       dim: Int, iters: Int = 5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // one materialization feeds every Lloyd round (each round would
+    // otherwise re-run the scan + element casts + norms); released before
+    // returning. At 10⁹ rows train on a deterministic hash-sample of the
+    // table instead of caching it all.
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    var cents: Array[(Long, Seq[Double])] =
-      v.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
-        .select(col("id"), col("v")).as[(Long, Seq[Double])].collect()
-        .zipWithIndex.map { case ((_, cv), i) => (i.toLong, cv) }
-    for (_ <- 1 to iters) {
-      val cdf = cents.toSeq.toDF("cell", "cv")
-        .withColumn("cn", dot(col("cv"), col("cv")))
-      val wc = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
-      val assigned = v.withColumn("nrm", dot(col("v"), col("v")))
-        .crossJoin(broadcast(cdf))
-        .withColumn("csim", cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")))
-        .withColumn("crk", row_number().over(wc))
-        .where(col("crk") === 1)
-      val means = assigned.groupBy(col("cell"))
-        .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("cv"))
-        .as[(Long, Seq[Double])].collect().toMap
-      // empty cells keep their previous centroid
-      cents = cents.map { case (c, old) => (c, means.getOrElse(c, old)) }
-    }
-    cents.toSeq.toDF("cell", "cv")
+      .withColumn("nrm", dot(col("v"), col("v")))
+      .persist()
+    try {
+      var cents: Array[(Long, Seq[Double])] =
+        v.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
+          .select(col("id"), col("v")).as[(Long, Seq[Double])].collect()
+          .zipWithIndex.map { case ((_, cv), i) => (i.toLong, cv) }
+      for (_ <- 1 to iters) {
+        val cdf = cents.toSeq.toDF("cell", "cv")
+          .withColumn("cn", dot(col("cv"), col("cv")))
+        val wc = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
+        val assigned = v
+          .crossJoin(broadcast(cdf))
+          .withColumn("csim", cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")))
+          .withColumn("crk", row_number().over(wc))
+          .where(col("crk") === 1)
+        val means = assigned.groupBy(col("cell"))
+          .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("cv"))
+          .as[(Long, Seq[Double])].collect().toMap
+        // empty cells keep their previous centroid
+        cents = cents.map { case (c, old) => (c, means.getOrElse(c, old)) }
+      }
+      cents.toSeq.toDF("cell", "cv")
+    } finally v.unpersist(false)
   }
 
   /**
