@@ -727,8 +727,12 @@ object Queries {
       val nCells = math.max(4, math.min(32, (emb.count() / 16).toInt))
       val codebook = dumpDerived(s, d, "e04_centroids")(
         Similarity.ivfTrain(emb, "vec_id", "embedding", nCells = nCells, dim = 64))
-      Similarity.ivfTopK(emb, "vec_id", "embedding", codebook, k = 5,
-        nProbe = math.min(8, nCells))
+      // the inverted file is MATERIALIZED (parquet) before search — the
+      // assignment flop pass runs once, not once per search-side consumer
+      val assign = dumpDerived(s, d, "e04_assign")(
+        Similarity.ivfAssign(emb, "vec_id", "embedding", codebook,
+          nProbe = math.min(8, nCells)))
+      Similarity.ivfSearch(emb, "vec_id", "embedding", assign, k = 5)
     })
 
   private val embeddingOracles: Map[String, String] = Map(

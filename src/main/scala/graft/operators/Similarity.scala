@@ -242,23 +242,53 @@ object Similarity {
    * itself anywhere; per-query candidates ≈ nProbe·n/nCells — the
    * scan-fraction dial that trades recall for work.
    */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  /**
+   * IVF index build: rank the codebook cells per vector and keep the
+   * `nProbe` nearest — `crk = 1` is the home cell (the inverted-file
+   * posting assignment), `crk ≤ nProbe` the probe list. ONE n×nCells
+   * flop pass (narrow, codegen'd dots against the tiny broadcast
+   * codebook); the partial WindowGroupLimit below the shuffle bounds the
+   * exchanged rows to nProbe per vector. Callers MUST materialize the
+   * result (parquet/persist) before searching — [[ivfSearch]] consumes
+   * it twice, and an unmaterialized plan would re-run the assignment
+   * flops per consumer.
+   */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, nProbe: Int): DataFrame = {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
     val cent = codebook.select(col("cell"), col("cv"))
       .withColumn("cn", dot(col("cv"), col("cv")))
     val wc = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
-    val ranked = v.crossJoin(broadcast(cent))
+    v.crossJoin(broadcast(cent))
       .withColumn("csim", cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")))
       .withColumn("crk", row_number().over(wc))
       .where(col("crk") <= math.max(1, nProbe))
-      .select(col("id"), col("v"), col("nrm"), col("cell"), col("crk"))
-    val members = ranked.where(col("crk") === 1)
+      .select(col("id"), col("cell"), col("crk"))
+  }
+
+  /**
+   * IVF search over a materialized [[ivfAssign]] table: per-query search
+   * restricted to the probed cells with exact rerank inside.
+   *
+   * Scale shape: vectors re-enter through two id-keyed hash joins
+   * (columnar scan + join — cheap next to assignment flops, which ran
+   * exactly once into the assignment table, exactly like a persisted
+   * FAISS inverted file); the probe→member join is a cell-keyed
+   * equi-join (AQE splits hot cells); per-query candidates ≈
+   * nProbe·n/nCells — the scan-fraction dial. No crossJoin of the data
+   * with itself anywhere.
+   */
+  def ivfSearch(df: DataFrame, idCol: String, vecCol: String,
+      assignment: DataFrame, k: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val members = assignment.where(col("crk") === 1).join(v, "id")
       .select(col("cell"), col("id").as("neighbor"),
         col("v").as("vb"), col("nrm").as("nb"))
-    val probes = ranked.select(col("id").as("vec_id"), col("v").as("va"),
-      col("nrm").as("na"), col("cell"))
+    val probes = assignment.join(v, "id")
+      .select(col("id").as("vec_id"), col("v").as("va"),
+        col("nrm").as("na"), col("cell"))
     // each neighbor has exactly one home cell and a query probes distinct
     // cells, so (vec_id, neighbor) is already unique — no dedup shuffle
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
@@ -269,4 +299,11 @@ object Similarity {
       .where(col("rk") <= k)
       .select(col("vec_id"), col("neighbor"), col("cos"), col("rk"))
   }
+
+  /** [[ivfAssign]] ∘ [[ivfSearch]] without materialization — convenience
+    * for small tables; persist/dump the assignment between the two calls
+    * at scale (the query surface dumps it to parquet). */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, k: Int, nProbe: Int): DataFrame =
+    ivfSearch(df, idCol, vecCol, ivfAssign(df, idCol, vecCol, codebook, nProbe), k)
 }

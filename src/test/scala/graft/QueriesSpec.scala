@@ -55,18 +55,29 @@ class QueriesSpec extends AnyFunSuite {
     info(s"e04 IVF pair recall vs brute force: $hit/${brute.size}")
   }
 
-  test("e04 plan: codebook joins broadcast; no data-with-data cartesian") {
-    // string-level check: AdaptiveSparkPlanExec does not expose its inner
-    // plan as children, so node-type traversal misses the joins
-    val plan = SparkEntry.queries("e04_ivf_topk")(spark, sf)
+  test("e04 plans: one broadcast-codebook flop pass; cartesian-free search") {
+    import graft.operators.Similarity
+    // string-level checks: AdaptiveSparkPlanExec does not expose its
+    // inner plan as children, so node-type traversal misses the joins
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val codebook = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nCells = 4, dim = 64, iters = 1)
+    // assignment: the only nested-loop join is data × broadcast(codebook);
+    // a CartesianProduct would mean the table got crossed with itself,
+    // and the partial WindowGroupLimit bounds the shuffle to nProbe/row
+    val assignPlan = Similarity.ivfAssign(emb, "vec_id", "embedding", codebook, 4)
       .queryExecution.executedPlan.toString
-    // the only nested-loop join allowed is data × broadcast(codebook);
-    // a CartesianProduct would mean the table got crossed with itself
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
-    // the rerank top-k is pushed below the final shuffle (partial
-    // WindowGroupLimit) — the plan property that bounds rerank output
-    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!assignPlan.contains("CartesianProduct"), assignPlan)
+    assert(assignPlan.contains("BroadcastNestedLoopJoin"), assignPlan)
+    assert(assignPlan.contains("WindowGroupLimit"), assignPlan)
+    // search (the registered query, assignment dumped): the flop pass
+    // must NOT reappear — only equi-joins against the materialized
+    // inverted file, with the rerank top-k pushed below the final shuffle
+    val searchPlan = SparkEntry.queries("e04_ivf_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!searchPlan.contains("CartesianProduct"), searchPlan)
+    assert(!searchPlan.contains("BroadcastNestedLoopJoin"), searchPlan)
+    assert(searchPlan.contains("WindowGroupLimit"), searchPlan)
   }
 
   test("d06 clusters: every confirmed d04 pair lands in one cluster") {
