@@ -164,6 +164,50 @@ object SketchKernels {
   def captionLcs(a: org.apache.spark.unsafe.types.UTF8String,
       b: org.apache.spark.unsafe.types.UTF8String): Int =
     graft.core.SuffixArrays.lcsLen(a.toString, b.toString)
+
+  /** ±1 hyperplane components, derived from murmur3 and cached per
+    * config (tiny: nTables×nPlanes×dim doubles, deterministic). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), Array[Array[Array[Double]]]]()
+
+  private def planesFor(dim: Int, nPlanes: Int, nTables: Int, seed: Long): Array[Array[Array[Double]]] =
+    planeCache.computeIfAbsent((dim, nPlanes, nTables, seed), _ =>
+      Array.tabulate(nTables, nPlanes, dim) { (t, p, i) =>
+        if ((graft.core.Murmur3.hash64(s"$t:$p:$i", seed) & 1L) == 0L) 1.0 else -1.0
+      })
+
+  /** Sign-bit hyperplane LSH keys over an ARRAY<FLOAT> embedding —
+    * codegen'd twin of the UDF in `Similarity.hyperplaneKeysUdf` (same
+    * plane derivation, same accumulation order, same probe-key layout). */
+  def hyperplaneKeys(v: ArrayData, dim: Int, nPlanes: Int, nTables: Int,
+      seed: Long, probe: Boolean): ArrayData = {
+    val planes = planesFor(dim, nPlanes, nTables, seed)
+    val perTable = if (probe) nPlanes + 1 else 1
+    val out = new Array[Long](nTables * perTable)
+    val nv = v.numElements()
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val comp = planes(t)(p)
+        var dot = 0.0
+        var i = 0
+        val n = math.min(nv, comp.length)
+        while (i < n) { dot += comp(i) * v.getFloat(i); i += 1 }
+        if (dot > 0) key |= (1L << p)
+        p += 1
+      }
+      out(t * perTable) = key * nTables + t
+      var q = 1
+      while (q < perTable) {
+        out(t * perTable + q) = (key ^ (1L << (q - 1))) * nTables + t
+        q += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `dot_product(a, b)` over ARRAY<DOUBLE> — no intermediate array (the
@@ -258,6 +302,21 @@ case class ImageMinhash(left: Expression, right: Expression,
       s"graft.functions.expressions.SketchKernels.imageMinhash($b, $f, $ksize, $num, ${maxHash}L, ${seed}L, $stride)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `hyperplane_keys(vec)` — sign-bit LSH keys for the embedding ANN
+  * path, codegen'd (the e03 banding hot path). */
+case class HyperplaneKeys(child: Expression, dim: Int, nPlanes: Int,
+    nTables: Int, seed: Long, probe: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SketchKernels.hyperplaneKeys(v.asInstanceOf[ArrayData], dim, nPlanes,
+      nTables, seed, probe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.expressions.SketchKernels.hyperplaneKeys($v, $dim, $nPlanes, $nTables, ${seed}L, $probe)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `caption_lcs(a, b)` — longest-common-substring length via a

@@ -80,6 +80,14 @@ object Similarity {
    * count. Keys per row = nTables × (1 + nPlanes·probe).
    */
   def hyperplaneKeys(vec: Column, dim: Int, nPlanes: Int, nTables: Int,
+      seed: Long = 42L, probe: Boolean = false): Column =
+    coalesce(Bridge.column(graft.functions.expressions.HyperplaneKeys(
+        Bridge.expression(vec), dim, nPlanes, nTables, seed, probe)),
+      typedlit(Array.emptyLongArray))
+
+  /** UDF formulation of [[hyperplaneKeys]] — differential-test oracle
+    * (same plane derivation, accumulation order, and probe layout). */
+  def hyperplaneKeysUdf(vec: Column, dim: Int, nPlanes: Int, nTables: Int,
       seed: Long = 42L, probe: Boolean = false): Column = {
     // plane components precomputed once (driver) and closed over — a tiny
     // deterministic broadcast; ±1 components from murmur low bits

@@ -112,6 +112,24 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("native hyperplane keys == UDF oracle over embeddings (probe on/off)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (probe <- Seq(true, false)) {
+      val out = emb.select(
+        Similarity.hyperplaneKeys($"embedding", 64, 9, 8, probe = probe).as("n"),
+        Similarity.hyperplaneKeysUdf($"embedding", 64, 9, 8, probe = probe).as("u"))
+        .collect()
+      assert(out.nonEmpty)
+      out.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"probe=$probe"))
+    }
+    // null contract matches the UDF twin: empty key array
+    val nulls = Seq((1, null: Array[Float])).toDF("id", "embedding")
+      .select(Similarity.hyperplaneKeys($"embedding", 64, 9, 8)).head()
+    assert(nulls.getSeq[Long](0).isEmpty)
+  }
+
   test("expressions stay inside whole-stage codegen (no eval fallback)") {
     import spark.implicits._
     // materialize to parquet first: a purely-local relation would be
