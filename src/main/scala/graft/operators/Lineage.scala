@@ -44,10 +44,17 @@ final class Lineage(spark: SparkSession, root: String) {
       case _ =>
         val t0 = System.nanoTime()
         val out = df
-        out.write.mode("overwrite").parquet(dataPath(name))
+        // write-metrics: the row count is observed INSIDE the write pass
+        // (Observation piggybacks an aggregate on the write job — no
+        // second scan of the written data; the former count() here cost
+        // one extra pass per stage)
+        val obs = org.apache.spark.sql.Observation()
+        out.observe(obs, count(lit(1)).as("rows_out"))
+          .write.mode("overwrite").parquet(dataPath(name))
+        val rows = obs.get("rows_out").asInstanceOf[Long]
         val wallMs = (System.nanoTime() - t0) / 1000000
         val written = spark.read.parquet(dataPath(name))
-        val rows = written.count()
+        // footer-only: partition count comes from the file listing
         val nParts = written.rdd.getNumPartitions
         appendLineage(name, fingerprint, rows, nParts, wallMs)
         java.nio.file.Files.writeString(
