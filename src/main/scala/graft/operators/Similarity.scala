@@ -199,14 +199,19 @@ object Similarity {
    * needs.
    */
   def ivfTrain(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-      dim: Int, iters: Int = 5): DataFrame = {
+      dim: Int, iters: Int = 5, trainSampleMod: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // trainSampleMod > 1 trains on a DETERMINISTIC 1/mod hash-sample of
+    // the table (order- and partitioning-independent) — the 10⁹-row
+    // posture, where caching the full table for Lloyd rounds is wasteful
+    // and a sample trains an equally good codebook.
+    val base = if (trainSampleMod <= 1) df
+      else df.where(pmod(xxhash64(col(idCol)), lit(trainSampleMod)) === 0)
     // one materialization feeds every Lloyd round (each round would
     // otherwise re-run the scan + element casts + norms); released before
-    // returning. At 10⁹ rows train on a deterministic hash-sample of the
-    // table instead of caching it all.
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // returning.
+    val v = base.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
       .persist()
     try {

@@ -55,6 +55,20 @@ class QueriesSpec extends AnyFunSuite {
     info(s"e04 IVF pair recall vs brute force: $hit/${brute.size}")
   }
 
+  test("e04 sampled training yields a working codebook (10^9-row posture)") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nCells = 4, dim = 64, iters = 2, trainSampleMod = 3)
+    assert(cb.count() === 4L)
+    val out = Similarity.ivfTopK(emb, "vec_id", "embedding", cb, k = 3, nProbe = 2)
+      .collect()
+    assert(out.nonEmpty)
+    // every query still gets its k neighbors (cells are non-degenerate)
+    val perQuery = out.groupBy(_.getLong(0)).map(_._2.length)
+    assert(perQuery.forall(_ == 3), perQuery.toString)
+  }
+
   test("e04 plans: one broadcast-codebook flop pass; cartesian-free search") {
     import graft.operators.Similarity
     // string-level checks: AdaptiveSparkPlanExec does not expose its
