@@ -981,14 +981,134 @@ object Queries {
       q.processAllAvailable()
       q.stop()
       s.read.parquet(outDir)
+    },
+    // CUSTOM STATE — `flatMapGroupsWithState` (the brief's named API):
+    // gap-based sessionization with a per-user open-session state struct
+    // carried ACROSS micro-batches. The input is split into two
+    // time-ordered batches (sessions straddle the boundary, so the state
+    // hand-off is genuinely exercised) plus a far-future per-user
+    // sentinel batch that closes every open session (st01's watermark-
+    // sentinel pattern applied to state closure); the sentinel's own
+    // session never closes and is never emitted.
+    "st03_stream_sessions" -> { (s, d) =>
+      import java.nio.file.Files
+      import s.implicits._
+      val events = t(s, d, "events")
+      val schema = events.schema
+      val inDir = Files.createTempDirectory("st03_in")
+      val outDir = Files.createTempDirectory("st03_out").toString
+      val ckpt = Files.createTempDirectory("st03_ckpt").toString
+      val (minTs, maxTs) = events
+        .agg(min(col("ts").cast("timestamp")), max(col("ts").cast("timestamp")))
+        .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+      val cutoff = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
+      def writeBatch(df: DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
+        val tmp = Files.createTempDirectory(s"st03_$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(s"$name.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
+      }
+      writeBatch(events.where(col("ts").cast("timestamp") < cutoff), "b1", 0L)
+      writeBatch(events.where(col("ts").cast("timestamp") >= cutoff), "b2", 60000L)
+      writeBatch(
+        events.select(col("user_id")).distinct()
+          .withColumn("event_id", lit(-1L))
+          .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000))
+            .cast(schema("ts").dataType))
+          .withColumn("event_type", lit("__sentinel"))
+          .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+          .select(schema.fieldNames.map(col): _*),
+        "b3", 120000L)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tsu"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+          Queries.sessionize)
+        .toDF("user_id", "start_us", "end_us", "n_events")
+        .select(col("user_id"),
+          timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+          timestamp_micros(col("end_us")).cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir)
     })
+
+  /** Session gap (micros): a quiet period longer than this closes the
+    * session. 8 h fits the synthetic events' inter-event spacing. */
+  private val sessionGapUs: Long = 8L * 3600 * 1000000
+
+  /** Open-session state carried across micro-batches. */
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** `flatMapGroupsWithState` handler: fold this batch's (sorted) event
+    * times into the open session, emitting every session that CLOSES
+    * (next event further than the gap). Batches arrive time-ordered
+    * (file source by mtime), events within a batch are sorted here; ties
+    * and duplicates extend the current session. */
+  def sessionize(user: Long, rows: Iterator[(Long, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[SessionState])
+      : Iterator[(Long, Long, Long, Long)] = {
+    val times = rows.map(_._2).toArray
+    java.util.Arrays.sort(times)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var st = state.getOption
+    var i = 0
+    while (i < times.length) {
+      val ts = times(i)
+      st match {
+        case None => st = Some(SessionState(ts, ts, 1L))
+        case Some(cur) if ts - cur.last <= sessionGapUs =>
+          st = Some(SessionState(cur.start, math.max(cur.last, ts), cur.n + 1))
+        case Some(cur) =>
+          out += ((user, cur.start, cur.last, cur.n))
+          st = Some(SessionState(ts, ts, 1L))
+      }
+      i += 1
+    }
+    st.foreach(state.update)
+    out.iterator
+  }
 
   private val streamingOracles: Map[String, String] = Map(
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st02_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events")
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // batch gaps-and-islands replica of the stateful sessionization: a
+    // > 8h quiet period starts a new session (ties/duplicates continue —
+    // mirrored by the handler's `<= gap` branch)
+    "st03_stream_sessions" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR ts - prev > INTERVAL '8 hours'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin)
 
   // ================================================================ sm: sourmash signature compatibility (reference fixtures)
 

@@ -55,6 +55,41 @@ class QueriesSpec extends AnyFunSuite {
     info(s"e04 IVF pair recall vs brute force: $hit/${brute.size}")
   }
 
+  test("st03 stateful sessions == batch gaps-and-islands; state spans batches") {
+    val out = SparkEntry.queries("st03_stream_sessions")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3))).toSet
+    // batch differential computed with Spark window functions
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "cast(ts as timestamp) as ts")
+    events.createOrReplaceTempView("ev_st03")
+    val expected = spark.sql(
+      """WITH l AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM ev_st03),
+        |m AS (SELECT user_id, ts, CASE WHEN prev IS NULL
+        |  OR ts > prev + INTERVAL 8 HOURS THEN 1 ELSE 0 END AS new_s FROM l),
+        |g AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id
+        |  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, cast(min(ts) as timestamp_ntz) AS s,
+        |  cast(max(ts) as timestamp_ntz) AS e, count(*) AS n
+        |FROM g GROUP BY user_id, sid""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3))).toSet
+    assert(out === expected)
+    // the batch cutoff (ts midpoint) is crossed by at least one session:
+    // the flatMapGroupsWithState state hand-off is load-bearing, not
+    // vacuously exercised
+    val Array(minT, maxT) = events.selectExpr("min(ts)", "max(ts)").head()
+      .toSeq.map(_.asInstanceOf[java.sql.Timestamp].getTime).toArray
+    val cut = new java.sql.Timestamp((minT + maxT) / 2).toInstant
+    val spanning = out.count { case (_, s, e, _) =>
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .atZone(java.time.ZoneOffset.UTC).toInstant.isBefore(cut) &&
+      !java.time.LocalDateTime.parse(e.replace(' ', 'T'))
+        .atZone(java.time.ZoneOffset.UTC).toInstant.isBefore(cut)
+    }
+    info(s"sessions spanning the batch cutoff: $spanning of ${out.size}")
+    assert(spanning >= 1, "no session crosses the micro-batch boundary")
+  }
+
   test("e04 sampled training yields a working codebook (10^9-row posture)") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
