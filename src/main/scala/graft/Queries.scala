@@ -768,8 +768,9 @@ object Queries {
         |WHERE round(list_dot_product(a.e, b.e) /
         |  sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) >= 0.45""".stripMargin,
     // full IVF replica from the raw table + the dumped trained codebook:
-    // nearest-centroid assignment (crk=1 = home cell), 4-cell probing,
-    // exact rerank within probed cells, top-5
+    // nearest-centroid assignment (crk=1 = home cell), 8-cell probing
+    // (mirrors the engine's nProbe = min(8, nCells); nCells > 8 at the
+    // sf0.01 gate scale), exact rerank within probed cells, top-5
     "e04_ivf_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |cv AS (SELECT cell, cv::DOUBLE[] AS ce
@@ -869,7 +870,7 @@ object Queries {
   // m03 @ n=2000: (stage, rows_out)
   val m03Expected: Seq[(String, Long)] = Seq(
     ("sketches", 2000L), ("exact_tagged", 2000L), ("exact_edges", 11L),
-    ("candidates", 9736L), ("near_edges", 97L), ("clusters", 2000L))
+    ("candidates", 9722L), ("near_edges", 90L), ("clusters", 2000L))
 
   private val multimodalOracles: Map[String, String] = Map(
     // deterministic decode statistics of the fixed synthetic corpus
@@ -1266,7 +1267,9 @@ object Queries {
         |g AS (
         |  SELECT name, num, ksize, CAST(h.hash AS HUGEINT) AS u,
         |         SUM(h.count) AS a
-        |  FROM ent GROUP BY 1, 2, 3, 4),
+        |  FROM ent
+        |  WHERE h.count > 0 -- from.rs loops `count` times: 0 adds nothing
+        |  GROUP BY 1, 2, 3, 4),
         |agg AS (
         |  SELECT name, num, ksize, COUNT(*) AS n_mins, MIN(u) AS first_u,
         |         MAX(u) AS last_u, CAST(SUM(a) AS BIGINT) AS sum_abund

@@ -27,15 +27,27 @@ object SuffixArrays {
     * per pair. */
   val MaxLen: Int = (1 << 21) - 2
 
+  /** Max symbol value: initial ranks are the raw symbols, packed into the
+    * same 21-bit fields as the doubled ranks. Unicode code points + 2
+    * (0x10FFFF + 2) fit comfortably. */
+  val MaxSymbol: Int = (1 << 21) - 2
+
   /**
-   * Suffix array of `s` (any non-negative ints) by prefix doubling.
-   * Each round sorts packed longs `(rank[i]+1) << 42 | (rank[i+k]+1) << 21 | i`
-   * — single primitive-array sort per round, no comparators, no boxing.
+   * Suffix array of `s` (non-negative ints ≤ [[MaxSymbol]]) by prefix
+   * doubling. Each round sorts packed longs
+   * `(rank[i]+1) << 42 | (rank[i+k]+1) << 21 | i` — single
+   * primitive-array sort per round, no comparators, no boxing.
    */
   def suffixArray(s: Array[Int]): Array[Int] = {
     val n = s.length
     require(n <= MaxLen, s"suffixArray input length $n exceeds $MaxLen")
     if (n == 0) return Array.emptyIntArray
+    var chk = 0
+    while (chk < n) {
+      require(s(chk) >= 0 && s(chk) <= MaxSymbol,
+        s"suffixArray symbol ${s(chk)} outside [0, $MaxSymbol]")
+      chk += 1
+    }
     val idxMask = (1L << 21) - 1
     var rank = new Array[Int](n)
     var next = new Array[Int](n)
@@ -96,23 +108,27 @@ object SuffixArrays {
 
   /**
    * Length of the longest common substring of `a` and `b` (0 if either is
-   * empty). Adjacent-suffix scan over the generalized suffix array of
-   * `a + SEP + b`: any common substring is a common prefix of one suffix
-   * from each side, and the max such prefix appears between two suffixes
-   * that are ADJACENT in suffix order (anything between them shares at
-   * least that prefix).
+   * empty), measured in Unicode CODE POINTS — matching SQL engines'
+   * `length`/`substring` semantics (a surrogate pair counts once), so
+   * the DuckDB oracle replication agrees beyond the BMP. Adjacent-suffix
+   * scan over the generalized suffix array of `a + SEP + b`: any common
+   * substring is a common prefix of one suffix from each side, and the
+   * max such prefix appears between two suffixes that are ADJACENT in
+   * suffix order (anything between them shares at least that prefix).
    */
   def lcsLen(a: String, b: String): Int = {
-    val n = a.length
-    val m = b.length
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val n = ca.length
+    val m = cb.length
     if (n == 0 || m == 0) return 0
     val total = n + 1 + m
     val s = new Array[Int](total)
     var i = 0
-    while (i < n) { s(i) = a.charAt(i) + 2; i += 1 }
-    s(n) = 1 // sentinel below every char code; never matches either side
+    while (i < n) { s(i) = ca(i) + 2; i += 1 }
+    s(n) = 1 // sentinel below every code point + 2; never matches either side
     i = 0
-    while (i < m) { s(n + 1 + i) = b.charAt(i) + 2; i += 1 }
+    while (i < m) { s(n + 1 + i) = cb(i) + 2; i += 1 }
     val sa = suffixArray(s)
     val lcp = lcpArray(s, sa)
     var best = 0

@@ -40,6 +40,20 @@ final case class DedupConfig(
     maxBucket: Int = 64,
     fpMaxBucket: Int = 8,
     substringMinLen: Int = 20,
+    // head-rewrite (splice) floor for the suffix-array pass. It bounds
+    // the caption-side false-positive MASS (measured on the synthetic
+    // template corpus: 9% of unrelated caption pairs share a >= 30-char
+    // chunk, max 58 — tiny-vocabulary templates are chunk-heavy); the
+    // conjunction with ph_ham <= phashMaxHamming carries precision, so a
+    // false merge needs BOTH a boilerplate chunk AND a near-identical
+    // perceptual hash between unrelated images (~1e-8/pair measured via
+    // the corpus' phash collision rate). The e2e spec asserts the
+    // resulting cluster partition EQUALS ground truth.
+    spliceMinLen: Int = 30,
+    // operational cap on the per-pair suffix-array input (chars): bounds
+    // confirm-stage work and memory on pathological captions; any real
+    // splice/containment decision resolves well within it
+    lcsMaxChars: Int = 4096,
     ccMaxIter: Int = 25)
 
 /**
@@ -162,13 +176,20 @@ object DedupPipeline {
     "phash_corrob" -> (col("ph_ham") <= cfg.phashMaxHamming && col("cap_sim") >= 0.3),
     "simhash_corrob" -> (col("sh_ham") <= cfg.simhashMaxHamming &&
       col("cap_sim") >= cfg.tauCapCorroborated),
-    // a >=20-char shared caption chunk needs corroboration before it may
-    // glue clusters: near-total sketch containment (the capsub shape) or
-    // a near-identical perceptual hash (the head-rewrite shape, where
-    // jaccard/containment/simhash all go cold)
-    "suffix_lcs" -> (col("substr_hit") &&
-      (col("cap_contain") >= 0.9 || col("ph_ham") <= cfg.phashMaxHamming) &&
-      (col("img_sim") >= 0.15 || col("ph_ham") <= 8)))
+    // the suffix-array pass has two shapes with DIFFERENT floors:
+    //  - containment (capsub): lcs >= substringMinLen is only evidence
+    //    together with near-total sketch containment + image support —
+    //    template boilerplate alone clears a 20-char floor on captioned
+    //    corpora, so the lcs test is corroboration here, not the signal;
+    //  - head-rewrite (splice): the shared chunk itself is the signal,
+    //    so its floor (spliceMinLen) must exceed the corpus' boilerplate
+    //    chunk length, corroborated by a near-identical perceptual hash
+    //    (jaccard/containment/simhash are all cold in this shape)
+    "suffix_lcs" ->
+      ((col("cap_lcs") >= cfg.substringMinLen && col("cap_contain") >= 0.9 &&
+        (col("img_sim") >= 0.15 || col("ph_ham") <= 8)) ||
+       (col("cap_lcs") >= cfg.spliceMinLen &&
+        col("ph_ham") <= cfg.phashMaxHamming)))
 
   /** OR of all [[edgeRules]] — the confirm filter. */
   def edgeRule(cfg: DedupConfig): Column =
@@ -197,8 +218,13 @@ object DedupPipeline {
       // exact-substring pass (north rule): generalized-suffix-array
       // longest common substring. Containment of the shorter caption is
       // the special case lcs == min(len); unlike contains(), this also
-      // catches head/tail caption rewrites that keep a long shared chunk
-      .withColumn("cap_lcs", captionLcs(col("cn_a"), col("cn_b")))
+      // catches head/tail caption rewrites that keep a long shared chunk.
+      // Inputs are capped at lcsMaxChars (pathological megabyte captions
+      // must not blow the per-pair suffix sort; decisions resolve far
+      // below the cap)
+      .withColumn("cap_lcs", captionLcs(
+        substring(col("cn_a"), 1, cfg.lcsMaxChars),
+        substring(col("cn_b"), 1, cfg.lcsMaxChars)))
       .withColumn("substr_hit", col("cap_lcs") >= cfg.substringMinLen)
     scored
   }

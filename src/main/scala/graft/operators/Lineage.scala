@@ -47,7 +47,10 @@ final class Lineage(spark: SparkSession, root: String) {
         // write-metrics: the row count is observed INSIDE the write pass
         // (Observation piggybacks an aggregate on the write job — no
         // second scan of the written data; the former count() here cost
-        // one extra pass per stage)
+        // one extra pass per stage). Caveat shared with all
+        // accumulator-style metrics: task RETRIES can over-count, so on
+        // a speculative/flaky cluster treat rows_out as a lineage metric
+        // and derive exact counts from the committed files when needed.
         val obs = org.apache.spark.sql.Observation()
         out.observe(obs, count(lit(1)).as("rows_out"))
           .write.mode("overwrite").parquet(dataPath(name))

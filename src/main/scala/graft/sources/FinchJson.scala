@@ -114,9 +114,12 @@ object FinchJson {
     def sketch(name: String, entries: Seq[String]): String =
       s"""{"name": "$name", "seqLength": ${entries.length * 100}, "numValidKmers": ${entries.length * 80}, "comment": "", "hashes": [${entries.mkString(", ")}]}"""
     val s1 = sketch("finch_a", (1 to 8).map(i => entry(kmer(i), i.toLong)))
-    // duplicate hash (kmer(11) twice): counts 5 and 2 must merge to 7
+    // duplicate hash (kmer(11) twice): counts 5 and 2 must merge to 7;
+    // zero-count entry (kmer(15)): counted in num but adds NO min
+    // (from.rs's add_many_with_abund loops `count` times)
     val s2 = sketch("finch_b",
-      (10 to 14).map(i => entry(kmer(i), 5L)) :+ entry(kmer(11), 2L))
+      (10 to 14).map(i => entry(kmer(i), 5L))
+        :+ entry(kmer(11), 2L) :+ entry(kmer(15), 0L))
     // decoy kmer=31 and hashSeed=9999: conversion must emit ksize=21, seed=42
     val json =
       s"""{"kmer": 31, "alphabet": "ACGT", "preserveCase": false, "canonical": true,

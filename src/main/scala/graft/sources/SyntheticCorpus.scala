@@ -196,20 +196,24 @@ object SyntheticCorpus {
           ImageRow(s"img_$id", bytes, W, H, "jpg",
             cap0, ImageCodec.phash64(dec.rgb, W, H))
         case "capedit" =>
-          // head rewrite: only the trailing "photographed on day N"
-          // clause (>= 21 chars) survives; everything before it is
-          // re-drawn fresh, so caption jaccard/containment/simhash all
-          // drop below their corroboration floors. The image is
-          // re-quantized (reencode-style) so the pixel-shingle path stays
-          // cold too: detection requires the suffix-array LCS pass
-          // corroborated by the near-identical phash.
+          // head rewrite: the trailing "in <place> [...] photographed on
+          // day N" clause (>= ~37 chars — well above the template
+          // boilerplate every caption shares, so it clears the splice
+          // floor) survives; the head is re-drawn fresh and sized to
+          // ~2.5x the tail so caption jaccard stays below every
+          // corroboration floor. The image is re-quantized
+          // (reencode-style) so the pixel-shingle path stays cold too:
+          // detection requires the suffix-array LCS pass corroborated by
+          // the near-identical phash.
           val rgb = ImageCodec.quantize(rgb0, 4)
-          val tail = cap0.split(' ').takeRight(4).mkString(" ")
+          val tail = cap0.substring(cap0.indexOf(" in ") + 1)
           def adj() = adjectives(r.nextInt(adjectives.length))
           def noun() = nouns(r.nextInt(nouns.length))
           def place() = places(r.nextInt(places.length))
-          val head = s"a ${adj()} ${noun()} ${verbs(r.nextInt(verbs.length))} " +
-            s"a ${adj()} ${noun()} toward ${place()} and ${place()}"
+          val head = new StringBuilder(
+            s"a ${adj()} ${noun()} ${verbs(r.nextInt(verbs.length))}")
+          while (head.length < tail.length * 3)
+            head.append(s" and a ${adj()} ${noun()} toward ${place()}")
           ImageRow(s"img_$id", ImageCodec.encodePpm(rgb, W, H), W, H, "ppmq",
             s"$head $tail", ImageCodec.phash64(rgb, W, H))
       }

@@ -78,6 +78,39 @@ class SuffixArraysSpec extends AnyFunSuite {
     }
   }
 
+  test("lcs counts code points (astral chars count once, SQL semantics)") {
+    val rocket = new String(Character.toChars(0x1F680)) // astral: 2 UTF-16 units
+    // shared chunk "ab<rocket>cd" = 5 code points (6 UTF-16 units)
+    assert(SuffixArrays.lcsLen(s"xxab${rocket}cdyy", s"zab${rocket}cdw") === 5)
+    // codepoint-DP differential over mixed BMP/astral strings
+    val alpha = Array("a", "b", rocket, new String(Character.toChars(0x1F409)))
+    val rnd = new scala.util.Random(5)
+    def mk() = Seq.fill(rnd.nextInt(25))(alpha(rnd.nextInt(alpha.length))).mkString
+    def dpCp(a: String, b: String): Int = {
+      val ca = a.codePoints().toArray; val cb = b.codePoints().toArray
+      var best = 0
+      val prev = new Array[Int](cb.length + 1); val cur = new Array[Int](cb.length + 1)
+      for (i <- 1 to ca.length) {
+        for (j <- 1 to cb.length) {
+          cur(j) = if (ca(i - 1) == cb(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+        }
+        System.arraycopy(cur, 0, prev, 0, cur.length)
+      }
+      best
+    }
+    for (trial <- 1 to 80) {
+      val a = mk(); val b = mk()
+      assert(SuffixArrays.lcsLen(a, b) === dpCp(a, b), s"trial $trial")
+    }
+  }
+
+  test("suffixArray rejects out-of-range symbols instead of silently corrupting") {
+    intercept[IllegalArgumentException] {
+      SuffixArrays.suffixArray(Array(3000000, 1, 2))
+    }
+  }
+
   test("suffix array sorts all suffixes of random strings") {
     val rnd = new scala.util.Random(9)
     for (_ <- 1 to 50) {

@@ -71,8 +71,8 @@ class FinchSpec extends AnyFunSuite {
     }
     assert(a.getAs[Int]("num") === 8)
     assert(a.getSeq[Long](a.fieldIndex("mins")).length === 8)
-    assert(b.getAs[Int]("num") === 6)          // dup entry still counted
-    assert(b.getSeq[Long](b.fieldIndex("mins")).length === 5) // but merged in mins
+    assert(b.getAs[Int]("num") === 7)          // dup + zero-count entries still counted
+    assert(b.getSeq[Long](b.fieldIndex("mins")).length === 5) // dup merged, count-0 dropped
     assert(b.getSeq[Long](b.fieldIndex("abunds")).sum === 5 * 5L + 2L)
   }
 }
