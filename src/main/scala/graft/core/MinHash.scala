@@ -44,9 +44,15 @@ object SketchConfig {
    * never applies it — the parameter is threaded into
    * `load_query_signature` and dropped (`/root/reference/src/lib.rs:593-601`,
    * `src/main.rs:181-185`); this helper completes the conversion the
-   * reference left unimplemented, matching upstream rounding (half-up;
-   * 2^64/scaled can only land exactly on .5 for power-of-two scaled,
-   * where upstream's float division is exact and no rounding occurs).
+   * reference left unimplemented.
+   *
+   * Computed through the SAME f64 path upstream uses (`2**64 / scaled` is
+   * float division in Python), NOT exact rationals: above 2^53 the f64
+   * quotient's ulp exceeds 1, so the two disagree — e.g. scaled=100 is
+   * 184467440737095516.16 exactly but 184467440737095520 as f64 — and
+   * `check_compatible` requires max_hash EQUALITY, so bit-parity with
+   * imported sourmash scaled signatures demands replicating the float
+   * rounding, quantization and all (KernelSpec pins scaled=100).
    * scaled = 0 means "not scaled" (max_hash 0, bottom-k mode);
    * scaled = 1 keeps every hash (max_hash = u64::MAX).
    */
@@ -54,9 +60,16 @@ object SketchConfig {
     require(scaled >= 0, "scaled must be >= 0")
     if (scaled == 0L) 0L
     else if (scaled == 1L) -1L // u64::MAX
-    // floor((2^65 + s) / 2s) = round-half-up(2^64 / s);
-    // .toLong wraps bit-faithfully (scaled=2 → 2^63 → Long.MinValue as u64)
-    else ((BigInt(2).pow(65) + scaled) / (BigInt(2) * scaled)).toLong
+    else {
+      // 2^64 is exactly representable; the division rounds to nearest-even
+      // exactly as CPython's float division does. rint (half-even) matches
+      // Python 3 round(); quotients above 2^53 are already integral.
+      val q = math.rint(18446744073709551616.0 / scaled.toDouble)
+      // f64 → u64 bit-faithful wrap (scaled=2 → 2^63 → Long.MinValue):
+      // Double.toLong saturates at Long.MaxValue, so fold the high half
+      if (q >= 9.223372036854775808e18) (q - 18446744073709551616.0).toLong
+      else q.toLong
+    }
   }
 
   /** Inverse rendering for reporting: scaled = round(2^64 / max_hash)

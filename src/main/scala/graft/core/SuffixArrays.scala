@@ -115,10 +115,23 @@ object SuffixArrays {
    * substring is a common prefix of one suffix from each side, and the
    * max such prefix appears between two suffixes that are ADJACENT in
    * suffix order (anything between them shares at least that prefix).
+   *
+   * Inputs are capped at [[LcsSideCap]] code points PER SIDE (so the
+   * combined array always fits [[MaxLen]]): a direct SQL/expression user
+   * feeding pathological multi-megabyte strings gets the LCS of the
+   * ~1M-code-point prefixes instead of a runtime
+   * IllegalArgumentException killing the job. Pipeline callers cap far
+   * lower anyway (DedupConfig.lcsMaxChars); any real near-dup decision
+   * resolves well inside either cap.
    */
-  def lcsLen(a: String, b: String): Int = {
-    val ca = a.codePoints().toArray
-    val cb = b.codePoints().toArray
+  val LcsSideCap: Int = (MaxLen - 1) / 2
+
+  def lcsLen(a: String, b: String, sideCap: Int = LcsSideCap): Int = {
+    val cap = math.min(sideCap, LcsSideCap)
+    var ca = a.codePoints().toArray
+    var cb = b.codePoints().toArray
+    if (ca.length > cap) ca = java.util.Arrays.copyOf(ca, cap)
+    if (cb.length > cap) cb = java.util.Arrays.copyOf(cb, cap)
     val n = ca.length
     val m = cb.length
     if (n == 0 || m == 0) return 0

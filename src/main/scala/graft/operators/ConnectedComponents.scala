@@ -64,10 +64,14 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
 
     // The initial checkpoint drags the caller's WHOLE upstream plan with
     // it (sketching, banding, confirm at corpus scale) — it must run
-    // under the session's own parallelism and AQE settings.
+    // under the session's own parallelism and AQE settings. The edge
+    // count rides on the SAME job as an observed metric (no separate
+    // count action), and is only requested when auto-sizing needs it.
+    val obs0 = org.apache.spark.sql.Observation()
     var e = edges.select($"src", $"dst").where($"src" =!= $"dst")
       .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
       .distinct()
+      .observe(obs0, count(lit(1)).as("edges"))
       .localCheckpoint(true)
 
     // From here on, per-round data (the edge set) is orders of magnitude
@@ -84,9 +88,12 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
     val aqeBefore = conf.get("spark.sql.adaptive.enabled", "true")
     val partsBefore = conf.get("spark.sql.shuffle.partitions", "200")
     val sessionParts = scala.util.Try(partsBefore.trim.toInt).getOrElse(200)
-    // the initial checkpoint is eager — counting it is a cheap cached scan
-    val loopWidth = chooseLoopWidth(e.count(), loopShufflePartitions,
-      sessionParts, edgesPerPartition)
+    // explicit override short-circuits: the edge count is irrelevant then,
+    // so don't even read the observed metric (ADVICE r3). Otherwise it
+    // came for free with the checkpoint job above.
+    val loopWidth = if (loopShufflePartitions > 0) loopShufflePartitions
+      else chooseLoopWidth(obs0.get("edges").asInstanceOf[Long], 0,
+        sessionParts, edgesPerPartition)
     logWarning(s"[cc] loop shuffle width=$loopWidth (session=$partsBefore)")
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.shuffle.partitions", loopWidth.toString)
@@ -113,16 +120,22 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
       //      emitted per-row with duplicates — the terminal distinct dedups)
       val dir = ls.select(greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
         .withColumn("m", min($"dst").over(wSrc))
+      // the order-independent edge-set signature (bit_xor avoids ANSI
+      // overflow) is an OBSERVED metric of the checkpoint job itself —
+      // one driver barrier per round, not two (checkpoint + separate agg
+      // was half the loop's serial term)
+      val obs = org.apache.spark.sql.Observation()
       val ss = dir.select($"dst".as("src"), $"m".as("dst"))
         .union(dir.select($"src", $"m".as("dst")))
         .where($"src" =!= $"dst")
         .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
         .distinct()
+        .observe(obs, count(lit(1)).as("edges"),
+          coalesce(bit_xor(xxhash64($"src", $"dst")), lit(0L)).as("sig"))
         .localCheckpoint(true)
 
-      // order-independent edge-set signature (bit_xor avoids ANSI overflow)
-      val sig = ss.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"src", $"dst")), lit(0L)))
-        .as[(Long, Long)].first()
+      val m = obs.get
+      val sig = (m("edges").asInstanceOf[Long], m("sig").asInstanceOf[Long])
       converged = sig == lastSig
       lastSig = sig
       e = ss
@@ -132,11 +145,14 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
     require(converged || maxIter == 0, s"connected components did not converge in $maxIter rounds")
 
     // After convergence the edge set is a star stored canonically as
-    // (src = component min, dst = member).
-    val labels = e.select($"dst".as("id"), $"src".as("component"))
+    // (src = component min, dst = member). Returned LAZY: the agg reads
+    // the checkpointed star edges, so consumers run it under the restored
+    // session confs (AQE on) — and the loop pays no extra barrier for it
+    // (round-3's eager checkpoint here was one more driver action buying
+    // nothing: the plan below is two narrow scans of cached blocks).
+    e.select($"dst".as("id"), $"src".as("component"))
       .union(e.select($"src".as("id"), $"src".as("component")))
       .groupBy($"id").agg(min($"component").as("component"))
-    labels.localCheckpoint(true)
 
     } finally {
       conf.set("spark.sql.adaptive.enabled", aqeBefore)

@@ -197,8 +197,20 @@ object DedupPipeline {
 
   /** Candidate scoring: reference-semantics similarity/containment plus
     * fingerprint distances and the suffix-array substring pass, one row
-    * per candidate pair. [[confirm]] = scores.where(edgeRule). */
-  def scores(cands: DataFrame, sk: DataFrame, cfg: DedupConfig): DataFrame = {
+    * per candidate pair. [[confirm]] = scores.where(edgeRule).
+    *
+    * `lcsAll = false` (the pipeline default) short-circuits the
+    * suffix-array kernel: a pair already confirmed by one of the CHEAP
+    * rules (sketch jaccard / fingerprint hamming — vectorized per-pair
+    * O(num) work) is an edge no matter what `cap_lcs` says, so the
+    * O(len·log len) per-pair suffix sort is skipped and `cap_lcs` carries
+    * the sentinel -1 ("not computed"). The emitted EDGE SET is identical
+    * either way; at scale the majority of true-dup candidates confirm
+    * cheap, so the expensive kernel runs only on the minority that needs
+    * it. The rule-attribution spec passes `lcsAll = true` to score every
+    * rule on every pair. */
+  def scores(cands: DataFrame, sk: DataFrame, cfg: DedupConfig,
+      lcsAll: Boolean = false): DataFrame = {
     val a = sk.select(
       col("vid").as("a"), col("cap_mins").as("cap_a"), col("img_mins").as("img_a"),
       col("cap_simhash").as("sh_a"), col("phash").as("ph_a"), col("cap_norm").as("cn_a"))
@@ -222,11 +234,18 @@ object DedupPipeline {
       // Inputs are capped at lcsMaxChars (pathological megabyte captions
       // must not blow the per-pair suffix sort; decisions resolve far
       // below the cap)
-      .withColumn("cap_lcs", captionLcs(
-        substring(col("cn_a"), 1, cfg.lcsMaxChars),
-        substring(col("cn_b"), 1, cfg.lcsMaxChars)))
-      .withColumn("substr_hit", col("cap_lcs") >= cfg.substringMinLen)
+    val lcsExpr = captionLcs(
+      substring(col("cn_a"), 1, cfg.lcsMaxChars),
+      substring(col("cn_b"), 1, cfg.lcsMaxChars))
+    // cheap-rule disjunction (everything but suffix_lcs — the only rule
+    // that reads cap_lcs) gates the expensive kernel; -1 = "not computed"
+    val cheapConfirmed = edgeRules(cfg)
+      .collect { case (name, c) if name != "suffix_lcs" => c }
+      .reduce(_ || _)
     scored
+      .withColumn("cap_lcs",
+        if (lcsAll) lcsExpr else when(cheapConfirmed, lit(-1)).otherwise(lcsExpr))
+      .withColumn("substr_hit", col("cap_lcs") >= cfg.substringMinLen)
   }
 
   /** Confirm candidates with reference-semantics scores; emit edges. */

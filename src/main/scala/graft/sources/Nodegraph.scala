@@ -15,23 +15,32 @@ import java.nio.{ByteBuffer, ByteOrder}
  * the `internal.N` fixtures carry the reference's golden membership and
  * recombination (`update`) test vectors.
  *
+ * A plain (non-case) final class: the structure is inherently mutable —
+ * [[count]] sets bits and bumps the occupancy counter in place — so
+ * case-class value semantics (equals/hashCode over current contents,
+ * `copy()` snapshotting a live counter) would mislead callers.
+ *
  * @param ksize        k-mer size the graph was built with
- * @param occupiedBins occupancy metadata (khmer-compatible): incremented
- *                     per newly set bit in EVERY table by [[count]]
- *                     (`nodegraph.rs:34-43`); deliberately NOT adjusted by
- *                     [[update]], replicating the reference's quirk
- *                     (`nodegraph.rs:85-88`, "occupied bins seems to be
- *                     broken in khmer" — the increment stays commented
- *                     out there, so recombined graphs serialize the
- *                     pre-union count)
+ * @param initialOccupiedBins starting occupancy metadata
+ *                     (khmer-compatible); see [[occupiedBins]]
  * @param tableSizes   prime table sizes, one per Bloom table
  * @param tables       bit tables, LSB-first within each byte
  */
-final case class Nodegraph(
-    ksize: Int,
-    var occupiedBins: Long,
-    tableSizes: Array[Long],
-    tables: Array[java.util.BitSet]) {
+final class Nodegraph(
+    val ksize: Int,
+    initialOccupiedBins: Long,
+    val tableSizes: Array[Long],
+    val tables: Array[java.util.BitSet]) {
+
+  private var occupied: Long = initialOccupiedBins
+
+  /** Occupancy metadata (khmer-compatible): incremented per newly set bit
+    * in EVERY table by [[count]] (`nodegraph.rs:34-43`); deliberately NOT
+    * adjusted by [[update]], replicating the reference's quirk
+    * (`nodegraph.rs:85-88`, "occupied bins seems to be broken in khmer" —
+    * the increment stays commented out there, so recombined graphs
+    * serialize the pre-union count). */
+  def occupiedBins: Long = occupied
 
   /** Bloom membership: 1 if `hash` maps to a set bit in every table, else 0
     * (`nodegraph.rs:51-59`). */
@@ -54,7 +63,7 @@ final case class Nodegraph(
     var t = 0
     while (t < tables.length) {
       val bin = java.lang.Long.remainderUnsigned(hash, tableSizes(t)).toInt
-      if (!tables(t).get(bin)) { tables(t).set(bin); occupiedBins += 1; isNew = true }
+      if (!tables(t).get(bin)) { tables(t).set(bin); occupied += 1; isNew = true }
       t += 1
     }
     isNew
@@ -146,7 +155,7 @@ object Nodegraph {
       tables(t) = java.util.BitSet.valueOf(raw)
       t += 1
     }
-    Nodegraph(ksize, occupied, sizes, tables)
+    new Nodegraph(ksize, occupied, sizes, tables)
   }
 
   def fromPath(path: String): Nodegraph =
@@ -154,6 +163,6 @@ object Nodegraph {
 
   /** Empty graph with the given table sizes (`nodegraph.rs:20-32`). */
   def empty(tableSizes: Array[Long], ksize: Int): Nodegraph =
-    Nodegraph(ksize, 0L, tableSizes,
+    new Nodegraph(ksize, 0L, tableSizes,
       tableSizes.map(s => new java.util.BitSet(s.toInt)))
 }

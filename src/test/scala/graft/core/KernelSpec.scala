@@ -312,7 +312,16 @@ class KernelSpec extends AnyFunSuite {
     assert(SketchConfig.scaledToMaxHash(2L) === Long.MinValue) // 2^63
     // upstream sourmash rounding: int(round(2**64/1000)) = ...552, not ⌊⌋ ...551
     assert(SketchConfig.scaledToMaxHash(1000L) === 18446744073709552L)
+    // bit-parity with upstream's f64 division where it DIVERGES from the
+    // exact rational: 2^64/100 = 184467440737095516.16 exactly, but the
+    // f64 quotient quantizes (ulp 32) to ...520 — check_compatible needs
+    // equality with imported sourmash sketches, so we must match the float
+    assert(SketchConfig.scaledToMaxHash(100L) === 184467440737095520L)
+    assert(SketchConfig.scaledToMaxHash(3L) === 6148914691236516864L) // not exact ...517205
+    assert(SketchConfig.scaledToMaxHash(100000L) === 184467440737096L)
+    assert(SketchConfig.scaledToMaxHash(10000000L) === 1844674407371L)
     assert(SketchConfig.maxHashToScaled(SketchConfig.scaledToMaxHash(1000L)) === 1000L)
+    assert(SketchConfig.maxHashToScaled(SketchConfig.scaledToMaxHash(100L)) === 100L)
     assert(SketchConfig.maxHashToScaled(SketchConfig.scaledToMaxHash(2L)) === 2L)
     // every kept hash under scaled=1000 is <= maxHash (sampling property)
     val mh = SketchConfig.scaledToMaxHash(1000L)

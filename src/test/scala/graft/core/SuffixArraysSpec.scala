@@ -105,6 +105,15 @@ class SuffixArraysSpec extends AnyFunSuite {
     }
   }
 
+  test("lcsLen truncates oversized inputs instead of throwing (side cap)") {
+    // the cap path: with sideCap=4, only the 4-code-point prefixes survive,
+    // so the shared tail "WXYZ" is invisible and the LCS is the shared
+    // head "ab" — and no IllegalArgumentException escapes to the caller
+    assert(SuffixArrays.lcsLen("abcdWXYZ", "abefWXYZ", sideCap = 4) === 2)
+    // sideCap larger than LcsSideCap is clamped, not honored
+    assert(SuffixArrays.lcsLen("abc", "zabcz", sideCap = Int.MaxValue) === 3)
+  }
+
   test("suffixArray rejects out-of-range symbols instead of silently corrupting") {
     intercept[IllegalArgumentException] {
       SuffixArrays.suffixArray(Array(3000000, 1, 2))

@@ -143,8 +143,14 @@ class PipelineSpec extends AnyFunSuite {
       // clamped to the raised session ceiling 64 — strictly > 8
       val wide = ConnectedComponents.run(edges.toDF("src", "dst"),
         edgesPerPartition = 4L)
-      assert(wide.rdd.getNumPartitions > 8,
-        s"loop produced ${wide.rdd.getNumPartitions} partitions — width still clamped?")
+      // the label agg itself is lazy (runs under session confs, AQE
+      // coalesces it), so probe the LOOP's materialized width where it is
+      // preserved: the checkpointed star-edge RDD feeding the plan
+      val loopParts = wide.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getNumPartitions
+      }
+      assert(loopParts.nonEmpty && loopParts.exists(_ > 8),
+        s"loop materialized at $loopParts partitions — width still clamped?")
       // labels are identical to the default-width run
       val narrow = ConnectedComponents.run(edges.toDF("src", "dst"))
       val a = wide.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -174,7 +180,10 @@ class PipelineSpec extends AnyFunSuite {
       .select(xxhash64($"dup_id").as("a"), xxhash64($"src_id").as("b"))
     val nPairs = gt.count()
     assert(nPairs > 0, "corpus must contain capedit pairs")
-    val scored = DedupPipeline.scores(gt, sk, cfg)
+    // lcsAll: attribution needs EVERY rule scored on every pair — the
+    // pipeline default short-circuits the LCS kernel on cheap-confirmed
+    // pairs (edge set identical; asserted by the short-circuit test)
+    val scored = DedupPipeline.scores(gt, sk, cfg, lcsAll = true)
     val rules = DedupPipeline.edgeRules(cfg)
     val agg = scored.agg(
       count(lit(1)).as("n"),
@@ -197,6 +206,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(others <= nPairs / 2,
       s"phash_corrob catches $others of $nPairs capedit pairs — kind not cold enough")
     sk.unpersist()
+  }
+
+  test("lcs short-circuit: edge set identical, sentinel fires on cheap-confirmed pairs") {
+    val n = 1500L
+    val cfg = DedupConfig()
+    val corpus = SyntheticCorpus.corpus(spark, n).toDF()
+    val tagged = DedupPipeline.exactDedupWindowed(
+      DedupPipeline.sketches(corpus, cfg)).cache()
+    val skReps = tagged.where($"image_id" === $"rep")
+    val cands = DedupPipeline.candidates(skReps, cfg).cache()
+    def edgeSet(all: Boolean): Set[(Long, Long)] =
+      DedupPipeline.scores(cands, skReps, cfg, lcsAll = all)
+        .where(DedupPipeline.edgeRule(cfg))
+        .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = edgeSet(true)
+    val short = edgeSet(false)
+    assert(full.nonEmpty)
+    assert(short === full, "short-circuit changed the confirmed edge set")
+    // the gate is load-bearing: cheap-confirmed pairs skip the kernel
+    val sentinels = DedupPipeline.scores(cands, skReps, cfg)
+      .where($"cap_lcs" === -1).count()
+    assert(sentinels > 0, "no pair took the short-circuit — gate dead?")
+    cands.unpersist(); tagged.unpersist()
   }
 
   test("end-to-end dedup: recall >= 0.99 vs ground truth at n=2000") {
