@@ -1062,6 +1062,75 @@ object Queries {
       q.processAllAvailable()
       q.stop()
       s.read.parquet(outDir)
+    },
+    // WATERMARK-DRIVEN STATE CLOSURE — `EventTimeTimeout`: the production
+    // fix for st03's caveat (a NoTimeout session of a user who stops
+    // emitting stays open until someone injects a per-user sentinel).
+    // Here each open session is walled with setTimeoutTimestamp(last +
+    // gap) and the ENGINE closes it once the global watermark passes the
+    // wall. The only test scaffolding left is ONE far-future event for a
+    // single synthetic key in a final batch — the watermark is global, so
+    // one row advances it for every user at once (vs st03's one sentinel
+    // PER user); that key's own session is filtered from the result.
+    "st04_stream_sessions_evt" -> { (s, d) =>
+      import java.nio.file.Files
+      import s.implicits._
+      val events = t(s, d, "events")
+      val schema = events.schema
+      val inDir = Files.createTempDirectory("st04_in")
+      val outDir = Files.createTempDirectory("st04_out").toString
+      val ckpt = Files.createTempDirectory("st04_ckpt").toString
+      val (minTs, maxTs) = events
+        .agg(min(col("ts").cast("timestamp")), max(col("ts").cast("timestamp")))
+        .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+      val cutoff = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
+      val sentinelUid = -1L // synthetic user ids are non-negative
+      def writeBatch(df: DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
+        val tmp = Files.createTempDirectory(s"st04_$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = inDir.resolve(s"$name.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
+      }
+      writeBatch(events.where(col("ts").cast("timestamp") < cutoff), "b1", 0L)
+      writeBatch(events.where(col("ts").cast("timestamp") >= cutoff), "b2", 60000L)
+      // one row, one key: pushes the watermark past every wall
+      // (maxTs + 24h - 1h delay > any last-event + 8h gap)
+      writeBatch(
+        events.limit(1)
+          .withColumn("user_id", lit(sentinelUid))
+          .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000))
+            .cast(schema("ts").dataType))
+          .select(schema.fieldNames.map(col): _*),
+        "b3", 120000L)
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        // the watermarked ATTRIBUTE itself must be in the fMGWS input's
+        // schema (the analyzer checks attribute metadata, not just the
+        // plan node), so `ts` rides along next to its micros rendering
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+          Queries.sessionizeEvt)
+        .toDF("user_id", "start_us", "end_us", "n_events")
+        .select(col("user_id"),
+          timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+          timestamp_micros(col("end_us")).cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir).where(col("user_id") =!= sentinelUid)
     })
 
   /** Session gap (micros): a quiet period longer than this closes the
@@ -1100,6 +1169,52 @@ object Queries {
     out.iterator
   }
 
+  /** [[sessionize]]'s production closure path — `EventTimeTimeout`:
+    * instead of injecting a per-user sentinel event to flush open
+    * sessions (st03's NoTimeout workaround), the open session is WALLED
+    * with `setTimeoutTimestamp(last + gap)`, and the engine calls the
+    * handler with `hasTimedOut` once the event-time WATERMARK passes that
+    * wall — so sessions of users who simply stop emitting close on their
+    * own as the rest of the stream advances time. Late rows beyond the
+    * watermark are dropped by the engine before the handler, which is
+    * what guarantees `last + gap > watermark` (gap ≫ watermark delay)
+    * and keeps `setTimeoutTimestamp` legal. */
+  def sessionizeEvt(user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+      state: org.apache.spark.sql.streaming.GroupState[SessionState])
+      : Iterator[(Long, Long, Long, Long)] = {
+    if (state.hasTimedOut) {
+      val cur = state.get
+      state.remove()
+      Iterator.single((user, cur.start, cur.last, cur.n))
+    } else {
+      val times = rows.map(_._2).toArray
+      java.util.Arrays.sort(times)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var st = state.getOption
+      var i = 0
+      while (i < times.length) {
+        val ts = times(i)
+        st match {
+          case None => st = Some(SessionState(ts, ts, 1L))
+          case Some(cur) if ts - cur.last <= sessionGapUs =>
+            st = Some(SessionState(cur.start, math.max(cur.last, ts), cur.n + 1))
+          case Some(cur) =>
+            out += ((user, cur.start, cur.last, cur.n))
+            st = Some(SessionState(ts, ts, 1L))
+        }
+        i += 1
+      }
+      st.foreach { cur =>
+        state.update(cur)
+        // the GroupState timeout API is millisecond-precision; the wall
+        // rounds DOWN, which can only close a session marginally early
+        // relative to exact micros — never extend it past the gap
+        state.setTimeoutTimestamp((cur.last + sessionGapUs) / 1000L)
+      }
+      out.iterator
+    }
+  }
+
   private val streamingOracles: Map[String, String] = Map(
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
@@ -1110,6 +1225,27 @@ object Queries {
     // > 8h quiet period starts a new session (ties/duplicates continue —
     // mirrored by the handler's `<= gap` branch)
     "st03_stream_sessions" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR ts - prev > INTERVAL '8 hours'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    // the EventTimeTimeout variant computes the SAME partition of events
+    // into sessions — closure mechanics (watermark wall vs sentinel)
+    // must not change the result
+    "st04_stream_sessions_evt" ->
       """WITH l AS (
         |  SELECT user_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
@@ -1224,6 +1360,33 @@ object Queries {
           element_at(col("mins"), 1).as("first_min"),
           element_at(col("mins"), size(col("mins"))).as("last_min"),
           expr("aggregate(abunds, 0L, (acc, x) -> acc + x)").as("sum_abund"))
+    },
+    // ABUNDANCE-WEIGHTED comparison (published sourmash
+    // `similarity(ignore_abundance=False)` = angular/cosine similarity
+    // over the sparse hash→abundance vectors; the reference tracks
+    // abundances with merge quirks but stops short of the weighted
+    // compare — completed here like scaledToMaxHash completes --scaled).
+    // DataFrame formulation: explode (hash, abund), inner-join on common
+    // hashes for the dot product (missing hashes contribute 0), per-
+    // sketch norms over the FULL abundance vector; pairs sharing no hash
+    // are omitted. The kernel twin is MinHash.angularSimilarity
+    // (KernelSpec/FinchSpec golden); the oracle re-derives everything
+    // from the raw finch JSON independently.
+    "sm07_abund_similarity" -> { (s, _) =>
+      val path = s"${derivedDir("sm")}/finch_demo.json"
+      FinchJson.writeDemoFixture(path)
+      val sk = FinchJson.toMinHash(FinchJson.read(s, path))
+        .select(col("name"), explode(arrays_zip(col("mins"), col("abunds"))).as("h"))
+        .select(col("name"), col("h.mins").as("u"), col("h.abunds").as("ab"))
+      val norms = sk.groupBy(col("name")).agg(sum(col("ab") * col("ab")).as("n2"))
+      val dots = sk.as("x").join(sk.as("y"),
+          col("x.u") === col("y.u") && col("x.name") < col("y.name"))
+        .groupBy(col("x.name").as("a"), col("y.name").as("b"))
+        .agg(sum(col("x.ab") * col("y.ab")).as("dot"))
+      dots.join(norms.select(col("name").as("a"), col("n2").as("n2a")), "a")
+        .join(norms.select(col("name").as("b"), col("n2").as("n2b")), "b")
+        .select(col("a"), col("b"),
+          round(col("dot") / sqrt(col("n2a") * col("n2b")), 6).as("angular_sim"))
     })
 
   /**
@@ -1299,6 +1462,32 @@ object Queries {
         |            THEN last_u - 18446744073709551616 ELSE last_u END AS BIGINT) AS last_min,
         |       sum_abund
         |FROM agg""".stripMargin,
+    // angular similarity re-derived from the raw finch JSON: dup-hash
+    // counts merge (SUM ... GROUP BY u), zero-count entries drop, dot
+    // over common hashes, norms over each full abundance vector
+    "sm07_abund_similarity" ->
+      """WITH sk AS (
+        |  SELECT unnest(sketches) AS s
+        |  FROM read_json('/tmp/graft_derived/sm/finch_demo.json',
+        |    columns = {sketches: 'STRUCT(name VARCHAR, seqLength BIGINT,
+        |      numValidKmers BIGINT, comment VARCHAR,
+        |      hashes STRUCT(hash HUGEINT, kmer VARCHAR, count BIGINT,
+        |      extra_count BIGINT)[])[]'})),
+        |ent AS (
+        |  SELECT s.name AS name, unnest(s.hashes) AS h FROM sk),
+        |g AS (
+        |  SELECT name, CAST(h.hash AS HUGEINT) AS u, SUM(h.count) AS ab
+        |  FROM ent WHERE h.count > 0 GROUP BY 1, 2),
+        |norm AS (SELECT name, SUM(ab * ab) AS n2 FROM g GROUP BY 1),
+        |dot AS (
+        |  SELECT x.name AS a, y.name AS b, SUM(x.ab * y.ab) AS d
+        |  FROM g x JOIN g y ON x.u = y.u AND x.name < y.name
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |       round(d / sqrt(nx.n2 * ny.n2), 6) AS angular_sim
+        |FROM dot
+        |JOIN norm nx ON nx.name = dot.a
+        |JOIN norm ny ON ny.name = dot.b""".stripMargin,
     // stage rows derived per m03Expected (see the scaladoc there)
     "m03_checkpointed_lineage" ->
       ("SELECT * FROM (VALUES\n" +

@@ -338,4 +338,41 @@ object MinHash {
     * (`/root/reference/src/index.rs:146-160`): `count_common / |A|`. */
   def containment(a: Array[Long], b: Array[Long]): Double =
     if (a.isEmpty) 0.0 else countCommon(a, b).toDouble / a.length.toDouble
+
+  /**
+   * Abundance-weighted similarity — cosine of the two abundance vectors
+   * over the hash universe (published sourmash's
+   * `similarity(ignore_abundance=False)` / `angular_similarity`: each
+   * sketch is a sparse vector hash → abundance; missing hashes are 0, so
+   * the dot product runs over COMMON hashes only while each norm covers
+   * the sketch's full abundance vector). The reference tracks abundances
+   * (`/root/reference/src/lib.rs:52-58`, K6's merge quirks) but stops
+   * short of an abund-weighted compare — this completes that surface the
+   * same way scaledToMaxHash completes `--scaled`.
+   *
+   * Inputs: `mins` sorted by unsigned value with parallel `abunds`
+   * (the invariant every sketch source maintains). 0.0 when either side
+   * is empty or has all-zero abundances.
+   */
+  def angularSimilarity(minsA: Array[Long], abundsA: Array[Long],
+      minsB: Array[Long], abundsB: Array[Long]): Double = {
+    require(minsA.length == abundsA.length && minsB.length == abundsB.length,
+      "mins/abunds length mismatch")
+    var dot = 0.0
+    var i = 0; var j = 0
+    while (i < minsA.length && j < minsB.length) {
+      val c = java.lang.Long.compareUnsigned(minsA(i), minsB(j))
+      if (c == 0) { dot += abundsA(i).toDouble * abundsB(j).toDouble; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    var n2a = 0.0
+    i = 0
+    while (i < abundsA.length) { n2a += abundsA(i).toDouble * abundsA(i); i += 1 }
+    var n2b = 0.0
+    j = 0
+    while (j < abundsB.length) { n2b += abundsB(j).toDouble * abundsB(j); j += 1 }
+    if (n2a == 0.0 || n2b == 0.0) 0.0
+    else dot / math.sqrt(n2a * n2b)
+  }
 }

@@ -74,4 +74,27 @@ object SignatureSearch {
     linear(db.join(broadcast(cands), Seq("filename"), "left_semi"),
       queryMins, cfg, threshold, mode)
   }
+
+  /**
+   * Search-report shaping — the reference CLI's result surface
+   * (`/root/reference/src/main.rs:210-259`, `src/sourmash.yml:35-58`):
+   * matches ordered by score descending, `--num-results` rows, or ONE
+   * row under `--best-only` (main.rs:222 collapses num_results to 1);
+   * columns (similarity, name, filename, md5) per the upstream CSV
+   * fieldnames (main.rs:252). Ties break on filename for determinism.
+   */
+  def report(results: DataFrame, numResults: Int = 3,
+      bestOnly: Boolean = false): DataFrame = {
+    results
+      .orderBy(col("score").desc, col("filename"))
+      .limit(if (bestOnly) 1 else numResults)
+      .select(col("score").as("similarity"), col("name"), col("filename"),
+        col("md5sum").as("md5"))
+  }
+
+  /** `-o` CSV sink for [[report]] (header row, one file — reports are
+    * tiny by construction; the corpus-scale outputs stay parquet). */
+  def writeCsv(reportDf: DataFrame, path: String): Unit =
+    reportDf.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
 }

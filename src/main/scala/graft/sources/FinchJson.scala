@@ -97,7 +97,8 @@ object FinchJson {
    */
   def writeDemoFixture(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) return
+    // unconditional overwrite: content is deterministic, and a stale file
+    // from an older build (different sketch set) must never shadow it
     java.nio.file.Files.createDirectories(p.getParent)
     def kmer(i: Int): String = {
       val bases = "ACGT"
@@ -120,11 +121,18 @@ object FinchJson {
     val s2 = sketch("finch_b",
       (10 to 14).map(i => entry(kmer(i), 5L))
         :+ entry(kmer(11), 2L) :+ entry(kmer(15), 0L))
+    // finch_c overlaps finch_b on kmers 12-14 (and on 15, which is
+    // zero-count in b — so it must NOT count as common): the abundance-
+    // weighted comparison surface (sm07) needs sketches that actually
+    // share hashes with DIFFERENT counts
+    val s3 = sketch("finch_c",
+      (12 to 16).map(i => entry(kmer(i), (i - 9).toLong))
+        ++ (17 to 20).map(i => entry(kmer(i), 2L)))
     // decoy kmer=31 and hashSeed=9999: conversion must emit ksize=21, seed=42
     val json =
       s"""{"kmer": 31, "alphabet": "ACGT", "preserveCase": false, "canonical": true,
          |"sketchSize": 1000, "hashType": "MurmurHash3_x64_128", "hashBits": 64,
-         |"hashSeed": 9999, "sketches": [$s1, $s2]}""".stripMargin
+         |"hashSeed": 9999, "sketches": [$s1, $s2, $s3]}""".stripMargin
     java.nio.file.Files.writeString(p, json)
   }
 

@@ -54,9 +54,52 @@ object SignatureJson {
   private val decArrToU64 = udf((a: Seq[java.math.BigDecimal]) =>
     if (a == null) null else a.map(_.toBigInteger.longValue()).toArray)
 
+  /** S3 — the reference sniffs COMPRESSION BY MAGIC BYTES, not extension
+    * (`/root/reference/src/file.rs:47-114`: gzip 1f 8b, bzip2 "BZh", xz
+    * fd "7zXZ" 00, else plain): a `.sig` that is secretly gzip must
+    * still load. Executor-side; gzip via the JDK, bzip2 via
+    * commons-compress, xz via org.tukaani.xz (both on Spark's runtime
+    * classpath). */
+  private[sources] def sniffDecompress(bytes: Array[Byte]): String = {
+    import java.io.ByteArrayInputStream
+    def slurp(in: java.io.InputStream): String =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte)
+      slurp(new java.util.zip.GZIPInputStream(new ByteArrayInputStream(bytes)))
+    else if (bytes.length >= 3 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h')
+      slurp(new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+        new ByteArrayInputStream(bytes)))
+    else if (bytes.length >= 6 && bytes(0) == 0xfd.toByte && bytes(1) == '7' &&
+        bytes(2) == 'z' && bytes(3) == 'X' && bytes(4) == 'Z' && bytes(5) == 0x00.toByte)
+      slurp(new org.tukaani.xz.XZInputStream(new ByteArrayInputStream(bytes)))
+    else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /**
+   * S1+S3: [[read]] with magic-byte compression sniffing. Whole files via
+   * the binaryFile source (a signature array is ONE JSON document — not
+   * splittable under multiLine either, so nothing is lost vs the json
+   * reader; signature files are KB-to-MB sketches, and a directory of
+   * them parallelizes per file), decompressed executor-side, parsed with
+   * from_json against the same schema.
+   */
+  def readAny(spark: SparkSession, path: String): DataFrame = {
+    val decomp = udf((b: Array[Byte]) => sniffDecompress(b))
+    val raw = spark.read.format("binaryFile").load(path)
+      .select(from_json(decomp(col("content")), ArrayType(sigSchema)).as("sigs"))
+      .select(explode(col("sigs")).as("sig"))
+      .select(col("sig.*"))
+    flatten(raw)
+  }
+
   /** S1+S2 flatten: one row per sketch with signature metadata. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.schema(sigSchema).option("multiLine", true).json(path)
+    flatten(raw)
+  }
+
+  private def flatten(raw: DataFrame): DataFrame = {
     raw.select(
         coalesce(col("class"), lit("sourmash_signature")).as("class"),
         coalesce(col("email"), lit("")).as("email"),

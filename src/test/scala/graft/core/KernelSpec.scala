@@ -306,6 +306,31 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("angularSimilarity: cosine over sparse hash->abundance vectors") {
+    // hand-computed: common hashes {2,5}: dot = 3*1 + 2*4 = 11;
+    // |a|^2 = 9+4+1 = 14, |b|^2 = 1+16+4 = 21 -> 11/sqrt(294)
+    val got = MinHash.angularSimilarity(
+      Array(2L, 5L, 9L), Array(3L, 2L, 1L),
+      Array(2L, 5L, 7L), Array(1L, 4L, 2L))
+    assert(math.abs(got - 11.0 / math.sqrt(294.0)) < 1e-12)
+    // symmetric; self-similarity 1; disjoint 0; empty 0
+    val got2 = MinHash.angularSimilarity(
+      Array(2L, 5L, 7L), Array(1L, 4L, 2L),
+      Array(2L, 5L, 9L), Array(3L, 2L, 1L))
+    assert(math.abs(got - got2) < 1e-15)
+    assert(math.abs(MinHash.angularSimilarity(
+      Array(1L, 4L), Array(2L, 3L), Array(1L, 4L), Array(2L, 3L)) - 1.0) < 1e-12)
+    assert(MinHash.angularSimilarity(
+      Array(1L), Array(2L), Array(3L), Array(4L)) === 0.0)
+    assert(MinHash.angularSimilarity(
+      Array.empty[Long], Array.empty[Long], Array(3L), Array(4L)) === 0.0)
+    // unsigned order: Long.MinValue (= 2^63 as u64) sorts AFTER positives,
+    // and the merge walk must still find it as common
+    val hi = Long.MinValue
+    assert(math.abs(MinHash.angularSimilarity(
+      Array(7L, hi), Array(1L, 2L), Array(7L, hi), Array(1L, 2L)) - 1.0) < 1e-12)
+  }
+
   test("scaledToMaxHash: round(2^64/scaled) as u64 (completes the reference's dropped param)") {
     assert(SketchConfig.scaledToMaxHash(0L) === 0L)
     assert(SketchConfig.scaledToMaxHash(1L) === -1L) // u64::MAX

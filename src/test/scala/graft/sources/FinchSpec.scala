@@ -54,12 +54,16 @@ class FinchSpec extends AnyFunSuite {
     FinchJson.writeDemoFixture(path)
     val out = FinchJson.toMinHash(FinchJson.read(spark, path))
       .orderBy(col("name")).collect()
-    assert(out.length === 2)
-    val a = out(0); val b = out(1)
+    assert(out.length === 3)
+    val a = out(0); val b = out(1); val c = out(2)
     assert(a.getAs[String]("name") === "finch_a")
+    assert(c.getAs[String]("name") === "finch_c")
+    // finch_c: 5 overlap-range kmers (counts 3..7) + 4 own (count 2)
+    assert(c.getSeq[Long](c.fieldIndex("mins")).length === 9)
+    assert(c.getSeq[Long](c.fieldIndex("abunds")).sum === (3L + 4 + 5 + 6 + 7) + 4 * 2L)
     // ksize = 21 from the kmers, NOT the file's top-level kmer=31;
     // seed = 42 hardcoded, NOT the file's hashSeed=9999
-    Seq(a, b).foreach { r =>
+    Seq(a, b, c).foreach { r =>
       assert(r.getAs[Int]("ksize") === 21)
       assert(r.getAs[Long]("seed") === 42L)
       assert(r.getAs[Long]("max_hash") === 0L)
@@ -74,5 +78,22 @@ class FinchSpec extends AnyFunSuite {
     assert(b.getAs[Int]("num") === 7)          // dup + zero-count entries still counted
     assert(b.getSeq[Long](b.fieldIndex("mins")).length === 5) // dup merged, count-0 dropped
     assert(b.getSeq[Long](b.fieldIndex("abunds")).sum === 5 * 5L + 2L)
+
+    // abundance-weighted comparison golden (sm07's kernel twin): b and c
+    // share kmers 12-14 only (15 is zero-count in b, so NOT common):
+    // dot = 5*3 + 5*4 + 5*5 = 60; |b|^2 = 4*25 + 49 = 149;
+    // |c|^2 = 9+16+25+36+49 + 4*4 = 151
+    val sim = graft.core.MinHash.angularSimilarity(
+      b.getSeq[Long](b.fieldIndex("mins")).toArray,
+      b.getSeq[Long](b.fieldIndex("abunds")).toArray,
+      c.getSeq[Long](c.fieldIndex("mins")).toArray,
+      c.getSeq[Long](c.fieldIndex("abunds")).toArray)
+    assert(math.abs(sim - 60.0 / math.sqrt(149.0 * 151.0)) < 1e-12)
+    // a shares nothing with b or c
+    assert(graft.core.MinHash.angularSimilarity(
+      a.getSeq[Long](a.fieldIndex("mins")).toArray,
+      a.getSeq[Long](a.fieldIndex("abunds")).toArray,
+      b.getSeq[Long](b.fieldIndex("mins")).toArray,
+      b.getSeq[Long](b.fieldIndex("abunds")).toArray) === 0.0)
   }
 }

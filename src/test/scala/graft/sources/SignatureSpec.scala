@@ -115,6 +115,63 @@ class SignatureSpec extends AnyFunSuite {
       .select(SignatureJson.computeMd5sum(col("ksize"), col("mins"))).head().getString(0)
     assert(got === expect)
   }
+
+  test("report: --best-only yields the single top match; CSV round-trips") {
+    assumeFixtures()
+    import graft.operators.SignatureSearch
+    val db = SignatureJson.read(spark, s"$refData/.sbt.v5/*")
+    val cfg = graft.core.SketchConfig(num = 500, ksize = 31)
+    val query = db.where(col("filename") === "SRR2060939_1.fastq.gz")
+      .select(col("mins")).head().getSeq[Long](0).toArray
+    val hits = SignatureSearch.linear(db, query, cfg, 0.08, "similarity")
+    val top3 = SignatureSearch.report(hits, numResults = 3).collect()
+    val best = SignatureSearch.report(hits, bestOnly = true).collect()
+    assert(top3.length === 3)
+    assert(best.length === 1)
+    // best-only == head of the ranked report; ranking is descending
+    assert(best(0) === top3(0))
+    assert(top3(0).getDouble(0) >= top3(1).getDouble(0))
+    assert(top3(1).getDouble(0) >= top3(2).getDouble(0))
+    // upstream CSV fieldnames (main.rs:252)
+    assert(best(0).schema.fieldNames.toSeq === Seq("similarity", "name", "filename", "md5"))
+    val dir = java.nio.file.Files.createTempDirectory("sig_csv").toString
+    SignatureSearch.writeCsv(SignatureSearch.report(hits, numResults = 3), dir)
+    val rt = spark.read.option("header", "true")
+      .schema("similarity DOUBLE, name STRING, filename STRING, md5 STRING")
+      .csv(dir).orderBy(col("similarity").desc, col("filename")).collect()
+    assert(rt.map(_.getString(2)).toSeq === top3.map(_.getString(2)).toSeq)
+  }
+
+  test("S3 readAny: gzip/bzip2/xz sniffed by MAGIC BYTES (extension lies), plain passthrough") {
+    assumeFixtures()
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$refData/genome-s10+s11.sig"))
+    val dir = java.nio.file.Files.createTempDirectory("sig_any")
+    def put(name: String, f: java.io.OutputStream => java.io.OutputStream): Unit = {
+      val fos = new java.io.FileOutputStream(dir.resolve(name).toFile)
+      val out = f(fos)
+      out.write(bytes); out.close()
+    }
+    // every file claims to be plain `.sig` — only the magic tells the truth
+    put("gz.sig", os => new java.util.zip.GZIPOutputStream(os))
+    put("bz2.sig", os =>
+      new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(os))
+    put("xz.sig", os => new org.tukaani.xz.XZOutputStream(os, new org.tukaani.xz.LZMA2Options()))
+    put("plain.sig", os => os)
+    val want = SignatureJson.read(spark, s"$refData/genome-s10+s11.sig")
+      .select(col("name"), col("ksize"), col("md5sum"))
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    for (f <- Seq("gz.sig", "bz2.sig", "xz.sig", "plain.sig")) {
+      val got = SignatureJson.readAny(spark, dir.resolve(f).toString)
+        .select(col("name"), col("ksize"), col("md5sum"))
+        .collect().map(_.toSeq).toSet
+      assert(got === want, s"$f did not round-trip through readAny")
+    }
+    // and a whole-directory load sees all four files' sketches at once
+    val all = SignatureJson.readAny(spark, s"$dir/*.sig").count()
+    assert(all === 4 * want.size)
+  }
 }
 
 /** Small helper so the round-trip logic is testable without the Queries map. */
