@@ -18,6 +18,33 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev probe: `runMain graft.Smoke --confirm-plan [rows]` prints the
+    // EXECUTED (post-AQE) plan of the confirm join, to check whether the
+    // merge hint leaves room for a runtime broadcast
+    if (args.headOption.contains("--confirm-plan")) {
+      import graft.operators.{DedupPipeline, DedupConfig}
+      import graft.sources.SyntheticCorpus
+      val rows = if (args.length > 1) args(1).toLong else 100000L
+      val cfg = DedupConfig()
+      val corpus = SyntheticCorpus.corpus(spark, rows, partitions = 16).toDF()
+      val tagged = DedupPipeline.exactDedupWindowed(
+        DedupPipeline.sketches(corpus, cfg)).persist()
+      val skReps = tagged.where(org.apache.spark.sql.functions.col("image_id") ===
+        org.apache.spark.sql.functions.col("rep"))
+      val cands = DedupPipeline.candidates(skReps, cfg)
+      val confirmed = DedupPipeline.confirm(cands, skReps, cfg)
+      val t1 = System.nanoTime()
+      // collect() executes THIS dataset's own QueryExecution, so the
+      // printed adaptive plan is the FINAL one (count() would spawn a
+      // separate execution and leave this plan un-finalized)
+      val n = confirmed.collect().length
+      println(f"[probe] confirm rows=$n in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      println(confirmed.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") || l.contains("Sort ") ||
+          l.contains("Exchange") || l.contains("AdaptiveSparkPlan")).mkString("\n"))
+      spark.stop()
+      return
+    }
     val t0 = System.nanoTime()
     // `runMain graft.Smoke <queryName> [sfDir]` smokes ONE registered
     // query; no args = the flagship entry (the driver's t1 smoke)

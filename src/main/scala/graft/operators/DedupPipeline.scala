@@ -217,9 +217,17 @@ object DedupPipeline {
     val b = sk.select(
       col("vid").as("b"), col("cap_mins").as("cap_b"), col("img_mins").as("img_b"),
       col("cap_simhash").as("sh_b"), col("phash").as("ph_b"), col("cap_norm").as("cn_b"))
-    // sketch sides are wide (two 128-long arrays/row) with UDF-derived
-    // stats: force shuffle joins, never a static broadcast
-    val scored = cands.join(a.hint("merge"), "a").join(b.hint("merge"), "b")
+    // join strategy is left to AQE's RUNTIME statistics, not hinted:
+    // sessions disable the STATIC broadcast planner (UDF-derived size
+    // estimates are garbage — the round-2 maxResultSize crash), so at
+    // validation scale AQE converts to a broadcast of the small candidate
+    // side from true stage sizes (no shuffle/sort of the wide sketch
+    // rows), and at 10^12-row scale — candidate set far beyond any
+    // broadcast threshold — it keeps the spill-safe sort-merge join. The
+    // earlier merge hint PINNED sort-merge: AQE honors hints, so both
+    // confirm joins shuffled AND sorted the wide sketch table twice even
+    // when the candidate side was a few MB (round-4 probe, 2.6x slower).
+    val scored = cands.join(a, "a").join(b, "b")
       .withColumn("img_sim", jaccard(col("img_a"), col("img_b"), cfg.imgSketch))
       .withColumn("cap_sim", jaccard(col("cap_a"), col("cap_b"), cfg.capSketch))
       .withColumn("ph_ham", hamming64(col("ph_a"), col("ph_b")))
