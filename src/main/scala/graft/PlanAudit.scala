@@ -20,7 +20,7 @@ object PlanAudit {
       SparkEntry.queries(name)(spark, sf).explain("formatted")
     }
     Seq("q01_filter_project", "q02_agg_group", "q03_join_agg",
-      "d03_minhash_lsh_pairs", "d04_minhash_jaccard_dedup",
+      "d02_ngram_jaccard", "d03_minhash_lsh_pairs", "d04_minhash_jaccard_dedup",
       "e02_embedding_pairs", "e03_embedding_lsh_pairs", "e04_ivf_topk",
       "d08_sql_jaccard", "q10_bucketed_join").foreach(dump)
     spark.stop()

@@ -90,6 +90,54 @@ class QueriesSpec extends AnyFunSuite {
     assert(spanning >= 1, "no session crosses the micro-batch boundary")
   }
 
+  test("st04 event-time-timeout sessions == st03 sentinel-closed sessions") {
+    // closure mechanics (engine-fired watermark timeout vs injected
+    // sentinel rows) must not change the session partition
+    def run(q: String): Set[(Long, String, String, Long)] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString, r.getLong(3))).toSet
+    val evt = run("st04_stream_sessions_evt")
+    val sentinel = run("st03_stream_sessions")
+    assert(evt.nonEmpty)
+    assert(evt === sentinel)
+  }
+
+  test("sessionizeEvt handler: data branch walls the session; timeout branch closes it") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val gapUs = 8L * 3600 * 1000000
+    // data branch: two events fold into one open session, no emission,
+    // and the timeout wall lands at (last + gap) in milliseconds
+    val open = TestGroupState.create[Queries.SessionState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(0L),
+      hasTimedOut = false)
+    val out1 = Queries.sessionizeEvt(7L,
+      Iterator((7L, 1000000L, null), (7L, 2000000L, null)), open).toList
+    assert(out1.isEmpty)
+    assert(open.exists)
+    assert(open.get === Queries.SessionState(1000000L, 2000000L, 2L))
+    assert(open.getTimeoutTimestampMs.get() === (2000000L + gapUs) / 1000L)
+    // in-batch gap: the first session closes inline, the second stays
+    // open with a fresh wall
+    val rollover = TestGroupState.create[Queries.SessionState](
+      Optional.of(Queries.SessionState(10L, 20L, 2L)),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), hasTimedOut = false)
+    val far = 20L + gapUs + 1L
+    val out2 = Queries.sessionizeEvt(3L, Iterator((3L, far, null)), rollover).toList
+    assert(out2 === List((3L, 10L, 20L, 2L)))
+    assert(rollover.get === Queries.SessionState(far, far, 1L))
+    // timeout branch: the engine calls with hasTimedOut and NO rows —
+    // the open session is emitted exactly once and the state cleared
+    val timedOut = TestGroupState.create[Queries.SessionState](
+      Optional.of(Queries.SessionState(5L, 9L, 3L)),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(99999999L),
+      hasTimedOut = true)
+    val out3 = Queries.sessionizeEvt(1L, Iterator.empty, timedOut).toList
+    assert(out3 === List((1L, 5L, 9L, 3L)))
+    assert(timedOut.isRemoved)
+  }
+
   test("e04 sampled training yields a working codebook (10^9-row posture)") {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
