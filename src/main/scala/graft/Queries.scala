@@ -1158,7 +1158,14 @@ object Queries {
       st match {
         case None => st = Some(SessionState(ts, ts, 1L))
         case Some(cur) if ts - cur.last <= sessionGapUs =>
-          st = Some(SessionState(cur.start, math.max(cur.last, ts), cur.n + 1))
+          // out-of-order rows (possible ACROSS micro-batches within the
+          // watermark allowance) extend BOTH ends: since the watermark
+          // delay (1 h) is far below the gap (8 h), any row the engine
+          // did not drop as late necessarily lands within gap of the
+          // open session, so the merge branch is always the correct one
+          // and start must track the earliest event, not the first seen
+          st = Some(SessionState(math.min(cur.start, ts),
+            math.max(cur.last, ts), cur.n + 1))
         case Some(cur) =>
           out += ((user, cur.start, cur.last, cur.n))
           st = Some(SessionState(ts, ts, 1L))
@@ -1197,7 +1204,13 @@ object Queries {
         st match {
           case None => st = Some(SessionState(ts, ts, 1L))
           case Some(cur) if ts - cur.last <= sessionGapUs =>
-            st = Some(SessionState(cur.start, math.max(cur.last, ts), cur.n + 1))
+            // out-of-order rows across micro-batches (legal inside the
+            // watermark allowance, which is far below the gap) extend
+            // BOTH ends: any row not dropped as late lands within gap of
+            // the open session, so this branch is always the right one
+            // and start must track the earliest event, not the first seen
+            st = Some(SessionState(math.min(cur.start, ts),
+              math.max(cur.last, ts), cur.n + 1))
           case Some(cur) =>
             out += ((user, cur.start, cur.last, cur.n))
             st = Some(SessionState(ts, ts, 1L))

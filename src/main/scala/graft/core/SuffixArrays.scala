@@ -127,7 +127,10 @@ object SuffixArrays {
   val LcsSideCap: Int = (MaxLen - 1) / 2
 
   def lcsLen(a: String, b: String, sideCap: Int = LcsSideCap): Int = {
-    val cap = math.min(sideCap, LcsSideCap)
+    // clamp to [1, LcsSideCap]: a non-positive caller value must not
+    // reach Arrays.copyOf as a negative length — the throw-free contract
+    // is the whole point of the cap
+    val cap = math.min(math.max(1, sideCap), LcsSideCap)
     var ca = a.codePoints().toArray
     var cb = b.codePoints().toArray
     if (ca.length > cap) ca = java.util.Arrays.copyOf(ca, cap)

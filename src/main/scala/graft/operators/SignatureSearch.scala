@@ -81,12 +81,15 @@ object SignatureSearch {
    * matches ordered by score descending, `--num-results` rows, or ONE
    * row under `--best-only` (main.rs:222 collapses num_results to 1);
    * columns (similarity, name, filename, md5) per the upstream CSV
-   * fieldnames (main.rs:252). Ties break on filename for determinism.
+   * fieldnames (main.rs:252). Ties break on (filename, md5sum): one
+   * .sig file yields several sketch ROWS sharing a filename, so
+   * filename alone is not a total order and a limit cut over it would
+   * be nondeterministic across executions.
    */
   def report(results: DataFrame, numResults: Int = 3,
       bestOnly: Boolean = false): DataFrame = {
     results
-      .orderBy(col("score").desc, col("filename"))
+      .orderBy(col("score").desc, col("filename"), col("md5sum"))
       .limit(if (bestOnly) 1 else numResults)
       .select(col("score").as("similarity"), col("name"), col("filename"),
         col("md5sum").as("md5"))

@@ -98,7 +98,10 @@ object FinchJson {
   def writeDemoFixture(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     // unconditional overwrite: content is deterministic, and a stale file
-    // from an older build (different sketch set) must never shadow it
+    // from an older build (different sketch set) must never shadow it.
+    // Written to a sibling temp file + atomic move: the path is shared
+    // by sm06/sm07 and read by the DuckDB oracle, so no reader may ever
+    // observe a truncated in-place rewrite.
     java.nio.file.Files.createDirectories(p.getParent)
     def kmer(i: Int): String = {
       val bases = "ACGT"
@@ -133,7 +136,11 @@ object FinchJson {
       s"""{"kmer": 31, "alphabet": "ACGT", "preserveCase": false, "canonical": true,
          |"sketchSize": 1000, "hashType": "MurmurHash3_x64_128", "hashBits": 64,
          |"hashSeed": 9999, "sketches": [$s1, $s2, $s3]}""".stripMargin
-    java.nio.file.Files.writeString(p, json)
+    val tmp = java.nio.file.Files.createTempFile(p.getParent, ".finch_demo", ".tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** `From<MinHashKmers>`: flattened finch rows → KmerMinHash-shaped rows

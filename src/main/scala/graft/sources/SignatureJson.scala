@@ -86,8 +86,13 @@ object SignatureJson {
    */
   def readAny(spark: SparkSession, path: String): DataFrame = {
     val decomp = udf((b: Array[Byte]) => sniffDecompress(b))
+    // FAILFAST: default-mode from_json turns a corrupt file into NULL,
+    // and explode(NULL) then SILENTLY drops every sketch in it — a
+    // corpus search would just miss signatures. A decompressable file
+    // with unparseable JSON must be an error, like the reference loader.
     val raw = spark.read.format("binaryFile").load(path)
-      .select(from_json(decomp(col("content")), ArrayType(sigSchema)).as("sigs"))
+      .select(from_json(decomp(col("content")), ArrayType(sigSchema),
+        Map("mode" -> "FAILFAST")).as("sigs"))
       .select(explode(col("sigs")).as("sig"))
       .select(col("sig.*"))
     flatten(raw)

@@ -127,6 +127,16 @@ class QueriesSpec extends AnyFunSuite {
     val out2 = Queries.sessionizeEvt(3L, Iterator((3L, far, null)), rollover).toList
     assert(out2 === List((3L, 10L, 20L, 2L)))
     assert(rollover.get === Queries.SessionState(far, far, 1L))
+    // out-of-order row in a LATER batch (legal inside the watermark
+    // allowance, which is far below the gap): extends the session START
+    // backward — the first-seen event is not necessarily the earliest
+    val ooo = TestGroupState.create[Queries.SessionState](
+      Optional.of(Queries.SessionState(36000000000L, 36000000000L, 1L)), // 10 h
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), hasTimedOut = false)
+    val out4 = Queries.sessionizeEvt(5L,
+      Iterator((5L, 34200000000L, null)), ooo).toList // 9.5 h, within gap
+    assert(out4.isEmpty)
+    assert(ooo.get === Queries.SessionState(34200000000L, 36000000000L, 2L))
     // timeout branch: the engine calls with hasTimedOut and NO rows —
     // the open session is emitted exactly once and the state cleared
     val timedOut = TestGroupState.create[Queries.SessionState](

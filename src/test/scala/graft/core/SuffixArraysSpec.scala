@@ -112,6 +112,9 @@ class SuffixArraysSpec extends AnyFunSuite {
     assert(SuffixArrays.lcsLen("abcdWXYZ", "abefWXYZ", sideCap = 4) === 2)
     // sideCap larger than LcsSideCap is clamped, not honored
     assert(SuffixArrays.lcsLen("abc", "zabcz", sideCap = Int.MaxValue) === 3)
+    // non-positive sideCap is clamped to 1, never a NegativeArraySizeException
+    assert(SuffixArrays.lcsLen("abc", "abd", sideCap = -1) === 1)
+    assert(SuffixArrays.lcsLen("abc", "abd", sideCap = 0) === 1)
   }
 
   test("suffixArray rejects out-of-range symbols instead of silently corrupting") {

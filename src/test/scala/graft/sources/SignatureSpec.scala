@@ -171,6 +171,19 @@ class SignatureSpec extends AnyFunSuite {
     // and a whole-directory load sees all four files' sketches at once
     val all = SignatureJson.readAny(spark, s"$dir/*.sig").count()
     assert(all === 4 * want.size)
+    // a decompressable file with CORRUPT JSON must raise, not silently
+    // vanish from the corpus (FAILFAST from_json; default mode nulls it)
+    val bad = java.nio.file.Files.createTempDirectory("sig_bad")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(bad.resolve("bad.sig").toFile))
+    gz.write("""[{"class": "sourmash_signature", TRUNCATED""".getBytes("UTF-8"))
+    gz.close()
+    val ex = intercept[Exception] {
+      SignatureJson.readAny(spark, bad.resolve("bad.sig").toString).collect()
+    }
+    assert(ex.toString.toLowerCase.contains("malformed") ||
+      Option(ex.getCause).exists(_.toString.toLowerCase.contains("malformed")) ||
+      ex.toString.toLowerCase.contains("json"), ex.toString)
   }
 }
 
