@@ -24,7 +24,8 @@ import graft.core.{MinHash, SketchConfig}
 object SignatureSearch {
 
   def linear(db: DataFrame, queryMins: Array[Long], cfg: SketchConfig,
-      threshold: Double, mode: String): DataFrame = {
+      threshold: Double, mode: String,
+      queryAbunds: Array[Long] = null): DataFrame = {
     val localCfg = cfg
     val q = queryMins
     val score = mode match {
@@ -34,6 +35,24 @@ object SignatureSearch {
         udf((mins: Seq[Long]) =>
           if (mins.isEmpty) 0.0
           else MinHash.countCommon(mins.toArray, q).toDouble / mins.length)
+      case "abundance" =>
+        // published-sourmash `similarity(ignore_abundance=False)` =
+        // angular/cosine similarity over hash→abundance vectors. The
+        // reference CLI parses `--ignore-abundance`
+        // (`src/sourmash.yml:64-69`) but its compare kernel never reads
+        // abundances — this mode completes the flag's advertised
+        // semantics. A sketch without stored abundances scores as
+        // flat counts of 1 (the sketch IS its support set then).
+        val qa = if (queryAbunds != null) queryAbunds
+          else Array.fill(q.length)(1L)
+        require(qa.length == q.length, "queryAbunds/queryMins length mismatch")
+        return db.withColumn("score",
+          udf((mins: Seq[Long], abunds: Seq[Long]) => {
+            val m = mins.toArray
+            val a = if (abunds != null) abunds.toArray else Array.fill(m.length)(1L)
+            MinHash.angularSimilarity(m, a, q, qa)
+          }).apply(col("mins"), col("abundances")))
+          .where(col("score") > threshold)
       case other => throw new IllegalArgumentException(s"unknown mode $other")
     }
     db.withColumn("score", score(col("mins")))
@@ -100,4 +119,11 @@ object SignatureSearch {
   def writeCsv(reportDf: DataFrame, path: String): Unit =
     reportDf.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(path)
+
+  /** `--save-matches` (`/root/reference/src/sourmash.yml:41-45`,
+    * `main.rs:261-265`: save the matched signatures themselves): the
+    * scored rows from [[linear]]/[[indexed]] carry the full signature
+    * columns, so dropping the score yields writable signature rows. */
+  def saveMatches(results: DataFrame, dir: String): Unit =
+    graft.sources.SignatureJson.write(results.drop("score"), dir)
 }

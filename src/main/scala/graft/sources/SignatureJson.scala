@@ -83,14 +83,25 @@ object SignatureJson {
    * reader; signature files are KB-to-MB sketches, and a directory of
    * them parallelizes per file), decompressed executor-side, parsed with
    * from_json against the same schema.
+   *
+   * `traverseDirectory = true` is the CLI's `--traverse-directory`
+   * (`/root/reference/src/sourmash.yml:22-27`): `path` is a directory
+   * root and every `*.sig` underneath it, at any depth, is loaded.
    */
-  def readAny(spark: SparkSession, path: String): DataFrame = {
+  def readAny(spark: SparkSession, path: String,
+      traverseDirectory: Boolean = false): DataFrame = {
     val decomp = udf((b: Array[Byte]) => sniffDecompress(b))
     // FAILFAST: default-mode from_json turns a corrupt file into NULL,
     // and explode(NULL) then SILENTLY drops every sketch in it — a
     // corpus search would just miss signatures. A decompressable file
     // with unparseable JSON must be an error, like the reference loader.
-    val raw = spark.read.format("binaryFile").load(path)
+    val reader = spark.read.format("binaryFile")
+    val source =
+      if (traverseDirectory)
+        reader.option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.sig").load(path)
+      else reader.load(path)
+    val raw = source
       .select(from_json(decomp(col("content")), ArrayType(sigSchema),
         Map("mode" -> "FAILFAST")).as("sigs"))
       .select(explode(col("sigs")).as("sig"))

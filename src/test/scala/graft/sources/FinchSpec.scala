@@ -96,4 +96,24 @@ class FinchSpec extends AnyFunSuite {
       b.getSeq[Long](b.fieldIndex("mins")).toArray,
       b.getSeq[Long](b.fieldIndex("abunds")).toArray) === 0.0)
   }
+
+  test("abundance search mode: strict-threshold angular scores over the fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("finchsearch")
+    val path = s"$dir/finch_demo.json"
+    FinchJson.writeDemoFixture(path)
+    val db = FinchJson.toMinHash(FinchJson.read(spark, path))
+      .withColumnRenamed("abunds", "abundances")
+    val q = db.where(col("name") === "finch_b").head()
+    val qm = q.getSeq[Long](q.fieldIndex("mins")).toArray
+    val qa = q.getSeq[Long](q.fieldIndex("abundances")).toArray
+    val hits = graft.operators.SignatureSearch.linear(
+        db, qm, graft.core.SketchConfig(num = 0, ksize = 21), 0.1, "abundance", qa)
+      .select(col("name"), col("score")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // self scores 1.0; c shares kmers 12-14 (sm07's golden); a is
+    // disjoint (score 0, excluded by the strict threshold)
+    assert(hits.keySet === Set("finch_b", "finch_c"))
+    assert(math.abs(hits("finch_b") - 1.0) < 1e-12)
+    assert(math.abs(hits("finch_c") - 60.0 / math.sqrt(149.0 * 151.0)) < 1e-12)
+  }
 }

@@ -185,6 +185,34 @@ class SignatureSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.toString.toLowerCase.contains("malformed")) ||
       ex.toString.toLowerCase.contains("json"), ex.toString)
   }
+
+  test("--traverse-directory: nested *.sig discovered recursively; --save-matches round-trips") {
+    assumeFixtures()
+    import graft.operators.SignatureSearch
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$refData/genome-s10+s11.sig"))
+    val root = java.nio.file.Files.createTempDirectory("sig_walk")
+    val deep = root.resolve("a/b")
+    java.nio.file.Files.createDirectories(deep)
+    java.nio.file.Files.write(root.resolve("top.sig"), bytes)
+    java.nio.file.Files.write(deep.resolve("nested.sig"), bytes)
+    java.nio.file.Files.write(deep.resolve("ignored.txt"), bytes) // not .sig
+    val want = SignatureJson.read(spark, s"$refData/genome-s10+s11.sig").count()
+    val walked = SignatureJson.readAny(spark, root.toString, traverseDirectory = true)
+    assert(walked.count() === 2 * want, "expected top.sig + a/b/nested.sig, not ignored.txt")
+
+    // --save-matches: the matched signatures re-read identically
+    val db = SignatureJson.read(spark, s"$refData/.sbt.v5/*")
+    val cfg = graft.core.SketchConfig(num = 500, ksize = 31)
+    val query = db.where(col("filename") === "SRR2060939_1.fastq.gz")
+      .select(col("mins")).head().getSeq[Long](0).toArray
+    val hits = SignatureSearch.linear(db, query, cfg, 0.1, "similarity")
+    val outDir = java.nio.file.Files.createTempDirectory("sig_matches").toString
+    SignatureSearch.saveMatches(hits, outDir)
+    val reread = SignatureJson.read(spark, s"$outDir/*.sig")
+    assert(reread.select(col("md5sum")).collect().map(_.getString(0)).toSet
+      === hits.select(col("md5sum")).collect().map(_.getString(0)).toSet)
+  }
 }
 
 /** Small helper so the round-trip logic is testable without the Queries map. */
