@@ -18,6 +18,44 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev probe: `runMain graft.Smoke --profile [rows]` times the
+    // flagship stage by stage (each phase materialized via noop write —
+    // numbers overlap-free but NOT additive to the fused pipeline, which
+    // shares scans; this is for finding the dominant phase, not a sum)
+    if (args.headOption.contains("--profile")) {
+      import graft.operators.{DedupPipeline, DedupConfig, ConnectedComponents}
+      import graft.sources.SyntheticCorpus
+      import org.apache.spark.sql.functions.col
+      val rows = if (args.length > 1) args(1).toLong else 600000L
+      val cfg = DedupConfig()
+      def time[T](label: String)(body: => T): T = {
+        val t = System.nanoTime()
+        val r = body
+        println(f"[profile] $label%-18s ${(System.nanoTime() - t) / 1e9}%7.1f s")
+        r
+      }
+      val corpus = SyntheticCorpus.corpus(spark, rows, partitions = 64).toDF()
+      time("gen+scan")(corpus.write.format("noop").mode("overwrite").save())
+      val tagged = DedupPipeline.exactDedupWindowed(
+        DedupPipeline.sketches(corpus, cfg)).persist()
+      time("sketch+window")(tagged.write.format("noop").mode("overwrite").save())
+      val skReps = tagged.where(col("image_id") === col("rep"))
+      val cands = DedupPipeline.candidates(skReps, cfg).persist()
+      time("band+bucket")(cands.write.format("noop").mode("overwrite").save())
+      val confirmed = DedupPipeline.confirm(cands, skReps, cfg).persist()
+      time("confirm")(confirmed.write.format("noop").mode("overwrite").save())
+      val edges = tagged.where(col("image_id") =!= col("rep"))
+        .select(col("vid").as("src"),
+          org.apache.spark.sql.functions.xxhash64(col("rep")).as("dst"))
+        .union(confirmed.select(col("a").as("src"), col("b").as("dst")))
+      val labels = time("cc")(ConnectedComponents.run(edges))
+      time("relabel")(DedupPipeline.clustersFromEdges(
+          tagged.select(col("image_id"), col("vid")), edges)
+        .write.format("noop").mode("overwrite").save())
+      labels.unpersist(); tagged.unpersist(); cands.unpersist(); confirmed.unpersist()
+      spark.stop()
+      return
+    }
     // dev probe: `runMain graft.Smoke --confirm-plan [rows]` prints the
     // EXECUTED (post-AQE) plan of the confirm join, to check whether the
     // merge hint leaves room for a runtime broadcast
