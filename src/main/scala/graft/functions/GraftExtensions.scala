@@ -14,6 +14,7 @@ import graft.functions.expressions._
  *   graft_jaccard(minsA, minsB[, num])  — combined-denominator similarity
  *   graft_containment(minsA, minsB)     — asymmetric containment
  *   graft_band_keys(mins, bands, rows)  — LSH band keys
+ *   graft_angular(mA, aA, mB, aB)       — abundance-weighted (angular)
  *
  * Register either per-session (`GraftExtensions.register(spark)`) or
  * cluster-wide via
@@ -55,6 +56,13 @@ object GraftExtensions {
         case Seq(m, bands, rows) =>
           MinhashBandKeys(m, intLit(bands, "bands"), intLit(rows, "rowsPerBand"), 42L)
         case _ => throw new IllegalArgumentException("graft_band_keys(mins, bands, rows)")
+      }),
+    ("graft_angular",
+      new ExpressionInfo(classOf[AngularMinhash].getName, "graft_angular"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ma, aa, mb, ab) => AngularMinhash(ma, aa, mb, ab)
+        case _ => throw new IllegalArgumentException(
+          "graft_angular(minsA, abundsA, minsB, abundsB)")
       }))
 
   /** Idempotent per-session registration (for sessions created without

@@ -114,6 +114,16 @@ object GraftFunctions {
     f(a, b)
   }
 
+  /** Abundance-weighted (angular/cosine) similarity over two sketches'
+    * (mins, abunds) pairs — native codegen'd expression
+    * ([[graft.functions.expressions.AngularMinhash]]); Column twin of
+    * `MinHash.angularSimilarity` (sm07, the "abundance" search mode). */
+  def angularSimilarity(minsA: Column, abundsA: Column,
+      minsB: Column, abundsB: Column): Column =
+    Bridge.column(expressions.AngularMinhash(
+      Bridge.expression(minsA), Bridge.expression(abundsA),
+      Bridge.expression(minsB), Bridge.expression(abundsB)))
+
   /** Asymmetric containment (`/root/reference/src/index.rs:146-160`) —
     * native codegen'd expression. */
   def containment(a: Column, b: Column): Column =

@@ -159,6 +159,13 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  /** Abundance-weighted (angular/cosine) similarity over two sketches'
+    * (mins, abunds) pairs — static kernel for the codegen'd
+    * [[AngularMinhash]]. */
+  def angular(ma: ArrayData, aa: ArrayData, mb: ArrayData, ab: ArrayData): Double =
+    graft.core.MinHash.angularSimilarity(
+      ma.toLongArray(), aa.toLongArray(), mb.toLongArray(), ab.toLongArray())
+
   /** Longest common substring of two UTF8 strings via a generalized
     * suffix array — the north rule's exact-substring caption pass. */
   def captionLcs(a: org.apache.spark.unsafe.types.UTF8String,
@@ -321,6 +328,25 @@ case class HyperplaneKeys(child: Expression, dim: Int, nPlanes: Int,
 
 /** `caption_lcs(a, b)` — longest-common-substring length via a
   * generalized suffix array (codegen'd; confirm-stage substring pass). */
+/** `graft_angular(minsA, abundsA, minsB, abundsB)` — abundance-weighted
+  * (angular/cosine) similarity over sparse hash→abundance vectors; the
+  * SQL-surface twin of `MinHash.angularSimilarity` (sm07, the
+  * `"abundance"` search mode). Strict nulls: a sketch without stored
+  * abundances passes `array_repeat(1L, size(mins))` explicitly. */
+case class AngularMinhash(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    SketchKernels.angular(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.expressions.SketchKernels.angular($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =
+    copy(newFirst, newSecond, newThird, newFourth)
+}
+
 case class CaptionLcs(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType

@@ -45,6 +45,17 @@ class AggSqlSpec extends AnyFunSuite {
     assert(row.getDouble(0) > 0.5 && row.getDouble(0) < 1.0)
     assert(row.getDouble(1) > 0.5)
     assert(row.getInt(2) === 8)
+
+    // graft_angular: kernel golden (sm07's hand-computed case) + the
+    // flat-abundance identity (all-ones abunds of a self-pair → 1.0)
+    val ang = spark.sql(
+      """SELECT round(graft_angular(array(2L, 5L, 9L), array(3L, 2L, 1L),
+        |                           array(2L, 5L, 7L), array(1L, 4L, 2L)), 9) AS s,
+        |       graft_angular(a.mins, array_repeat(1L, size(a.mins)),
+        |                     a.mins, array_repeat(1L, size(a.mins))) AS self
+        |FROM sqlspec_sketches a WHERE a.id = 'x'""".stripMargin).head()
+    assert(math.abs(ang.getDouble(0) - math.rint(1e9 * 11.0 / math.sqrt(294.0)) / 1e9) < 1e-12)
+    assert(math.abs(ang.getDouble(1) - 1.0) < 1e-12)
   }
 
   test("S3 compressed-input analog: gzipped signature JSON reads transparently") {

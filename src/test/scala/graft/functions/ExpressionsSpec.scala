@@ -138,7 +138,9 @@ class ExpressionsSpec extends AnyFunSuite {
     randomSketchPairs(10, 64).toDF("a", "b").write.mode("overwrite").parquet(tmp)
     val cfg = SketchConfig(num = 64)
     val df = spark.read.parquet(tmp)
-      .select(jaccard($"a", $"b", cfg).as("j"), minhashBands($"a", 16, 8).as("bk"))
+      .select(jaccard($"a", $"b", cfg).as("j"), minhashBands($"a", 16, 8).as("bk"),
+        angularSimilarity($"a", expr("array_repeat(1L, size(a))"),
+          $"b", expr("array_repeat(1L, size(b))")).as("ang"))
     val hasWsc = df.queryExecution.executedPlan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
     assert(hasWsc, df.queryExecution.executedPlan.toString)
