@@ -1098,13 +1098,22 @@ object Queries {
       writeBatch(events.where(col("ts").cast("timestamp") >= cutoff), "b2", 60000L)
       // one row, one key: pushes the watermark past every wall
       // (maxTs + 24h - 1h delay > any last-event + 8h gap)
-      writeBatch(
-        events.limit(1)
-          .withColumn("user_id", lit(sentinelUid))
-          .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000))
-            .cast(schema("ts").dataType))
-          .select(schema.fieldNames.map(col): _*),
-        "b3", 120000L)
+      def sentinelBatch(name: String, hrs: Long, mtimeOffsetMs: Long): Unit =
+        writeBatch(
+          events.limit(1)
+            .withColumn("user_id", lit(sentinelUid))
+            .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + hrs * 3600 * 1000))
+              .cast(schema("ts").dataType))
+            .select(schema.fieldNames.map(col): _*),
+          name, mtimeOffsetMs)
+      sentinelBatch("b3", 24, 120000L)
+      // b4 makes the timeout firing deterministic by construction: the
+      // watermark b3 advanced is APPLIED in the next batch, and while the
+      // engine's no-data micro-batch normally provides one, that is a
+      // trigger-policy behavior — a second, later sentinel guarantees a
+      // DATA batch runs with the advanced watermark, firing every wall
+      // inside work processAllAvailable provably waits for
+      sentinelBatch("b4", 25, 180000L)
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
