@@ -66,6 +66,95 @@ object Queries {
   private def oraclePath(name: String): String =
     s"'$derivedRoot/sf0.01/$name.parquet/*.parquet'"
 
+  /** Memoized (min, max) event timestamp per sfDir — st01/st03/st04 each
+    * ran this scan per query (round-4 VERDICT polish item). */
+  private val tsRangeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (java.sql.Timestamp, java.sql.Timestamp)]()
+  private def eventsTsRange(s: SparkSession, d: String): (java.sql.Timestamp, java.sql.Timestamp) =
+    tsRangeCache.computeIfAbsent(d, _ => {
+      val r = t(s, d, "events")
+        .agg(min(col("ts").cast("timestamp")), max(col("ts").cast("timestamp"))).head()
+      (r.getTimestamp(0), r.getTimestamp(1))
+    })
+
+  /**
+   * Stage every streaming query's micro-batch files ONCE per (sfDir, JVM)
+   * — the `dumpDerived` pattern applied to the stream scaffolding (the
+   * file-source batches are deterministic functions of the events table,
+   * so st01/st03/st04 re-running the split/coalesce/sentinel writes per
+   * query was pure fixed cost; st03 and st04 even share the same halves).
+   * Queries COPY the staged files into their own source dir (cheap FS
+   * copy) and stamp mtimes there — the file source orders batches by
+   * mtime, which must be per-query-run, not per-staging.
+   */
+  private def stagedStreamBatches(s: SparkSession, d: String): java.nio.file.Path = {
+    val dir = java.nio.file.Paths.get(s"${derivedDir(d)}/stream_batches")
+    dumpedPaths.getOrElseUpdate(dir.toString, {
+      import java.nio.file.{Files, StandardCopyOption}
+      val events = t(s, d, "events")
+      val schema = events.schema
+      val (minTs, maxTs) = eventsTsRange(s, d)
+      val cutoff = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
+      Files.createDirectories(dir)
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = Files.createTempDirectory(s"stage_$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      }
+      def tsLit(ms: Long) =
+        lit(new java.sql.Timestamp(ms)).cast(schema("ts").dataType)
+      // session halves at the midpoint cutoff (st03 + st04 share these)
+      stage(events.where(col("ts").cast("timestamp") < cutoff), "b1.parquet")
+      stage(events.where(col("ts").cast("timestamp") >= cutoff), "b2.parquet")
+      // st01 watermark sentinels: 3 h / 4 h beyond max event time
+      for (hrs <- Seq(3, 4))
+        stage(events.limit(1)
+          .withColumn("ts", tsLit(maxTs.getTime + hrs * 3600 * 1000L))
+          .withColumn("event_type", lit("__sentinel")), s"st01_s$hrs.parquet")
+      // st03 per-user closing sentinel batch
+      stage(events.select(col("user_id")).distinct()
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", tsLit(maxTs.getTime + 24L * 3600 * 1000))
+        .withColumn("event_type", lit("__sentinel"))
+        .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+        .select(schema.fieldNames.map(col): _*), "st03_sent.parquet")
+      // st04 single-key watermark sentinels (24 h advances the watermark,
+      // 25 h guarantees a DATA batch runs with it applied)
+      for (hrs <- Seq(24, 25))
+        stage(events.limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", tsLit(maxTs.getTime + hrs * 3600L * 1000))
+          .select(schema.fieldNames.map(col): _*), s"st04_s$hrs.parquet")
+    })
+    dir
+  }
+
+  /** Copy a staged batch file into a streaming source dir with a
+    * controlled mtime offset (the file source orders batches by mtime). */
+  private def copyBatch(src: java.nio.file.Path, inDir: java.nio.file.Path,
+      name: String, mtimeOffsetMs: Long): Unit = {
+    val dst = inDir.resolve(name)
+    java.nio.file.Files.copy(src, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
+    * the streaming queries' state stores allocate one instance per
+    * shuffle partition PER MICRO-BATCH, a fixed cost the tiny validation
+    * streams pay 3-5× per query at width 32. The conf is pinned into the
+    * stream's checkpoint at start, so it only affects the scoped query;
+    * restored defensively after (the CC loop's conf-restore pattern). At
+    * production scale a stream would size this to its state, not 8. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Corpus size for multimodal queries, scaled off the sf dir name. */
   def corpusRows(dir: String): Long =
     if (dir.contains("sf0.1")) 20000L
@@ -741,9 +830,18 @@ object Queries {
       // fraction (~n/4). Tiny tables degenerate toward brute force —
       // correct: IVF only pays past ~10³ rows per cell budget.
       // Row count from the memoized table-statistics stand-in.
-      val nCells = math.max(4, math.min(32, (tableRows(s, d, "embeddings") / 16).toInt))
+      val nRows = tableRows(s, d, "embeddings")
+      val nCells = math.max(4, math.min(32, (nRows / 16).toInt))
+      // Lloyd rounds carry a fixed per-round job latency that dominates at
+      // toy scale; the round-4 sweep showed the assignment fixpoint is
+      // reached by round 3 on tables this small (the 1e-12 early stop
+      // in ivfTrain fires there), so below 10^4 rows the cap is 3. The
+      // oracle is round-count-agnostic: it replicates the search from
+      // whatever codebook was dumped.
+      val lloydIters = if (nRows < 10000L) 3 else 5
       val codebook = dumpDerived(s, d, "e04_centroids")(
-        Similarity.ivfTrain(emb, "vec_id", "embedding", nCells = nCells, dim = 64))
+        Similarity.ivfTrain(emb, "vec_id", "embedding", nCells = nCells,
+          dim = 64, iters = lloydIters))
       // the inverted file is MATERIALIZED (parquet) before search — the
       // assignment flop pass runs once, not once per search-side consumer
       val assign = dumpDerived(s, d, "e04_assign")(
@@ -920,6 +1018,21 @@ object Queries {
          |FROM lbl l JOIN named nm USING (component)""".stripMargin)
 
   // ================================================================ st: structured streaming
+  //
+  // SOURCE SEAM: every st* query stages mtime-ordered parquet batches into
+  // a temp dir and reads them through the FILE source with
+  // maxFilesPerTrigger=1 — test scaffolding that makes micro-batch
+  // boundaries, watermark advancement, and state hand-off deterministic
+  // and oracle-checkable in this sandbox. The seam is exactly the
+  // `readStream` line: a production deployment swaps
+  // `readStream.schema(...).parquet(dir)` for its real unbounded source
+  // (`format("kafka")` + the same `ts` watermark, or a rate/socket source)
+  // and every transform downstream of that line — watermarking, windowed
+  // aggregation, dropDuplicatesWithinWatermark, flatMapGroupsWithState —
+  // is unchanged, because none of them reference the source shape. The
+  // sentinel batches exist only to close windows/state deterministically
+  // at end-of-input; a true unbounded stream closes them by, simply,
+  // having more data.
 
   private val streaming: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the q09 aggregation re-expressed as a Structured Streaming query:
@@ -932,42 +1045,33 @@ object Queries {
     // sentinel rows are filtered from the result.
     "st01_stream_hourly" -> { (s, d) =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val events = t(s, d, "events")
-      val schema = events.schema
+      val schema = t(s, d, "events").schema
+      val staged = stagedStreamBatches(s, d)
       val inDir = Files.createTempDirectory("st01_in")
       val outDir = Files.createTempDirectory("st01_out").toString
       val ckpt = Files.createTempDirectory("st01_ckpt").toString
-      // batch 1: the real events (one file = one micro-batch)
+      // batch 1: the real events (one file = one micro-batch); batches
+      // 2-3: the staged watermark sentinels
       Files.copy(Paths.get(s"$d/events.parquet"), inDir.resolve("b1.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
-      // sentinels: same schema, event_type '__sentinel', ts beyond max+watermark
-      val maxTs = events.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
-      for ((hrs, i) <- Seq(3, 4).zipWithIndex) {
-        val tmp = Files.createTempDirectory(s"st01_s$i").toString
-        events.limit(1)
-          .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + hrs * 3600 * 1000L))
-            .cast(schema("ts").dataType))
-          .withColumn("event_type", lit("__sentinel"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = inDir.resolve(s"b${i + 2}.parquet")
-        Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
+      copyBatch(staged.resolve("st01_s3.parquet"), inDir, "b2.parquet", 60000L)
+      copyBatch(staged.resolve("st01_s4.parquet"), inDir, "b3.parquet", 120000L)
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+            col("event_type"), col("n"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
       }
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir.toString)
-        .withColumn("ts", col("ts").cast("timestamp"))
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
-          col("event_type"), col("n"))
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .start()
-      q.processAllAvailable()
-      q.stop()
       s.read.parquet(outDir).where(col("event_type") =!= "__sentinel")
     })
 
@@ -986,18 +1090,20 @@ object Queries {
       val schema = events.schema
       val outDir = Files.createTempDirectory("st02_out").toString
       val ckpt = Files.createTempDirectory("st02_ckpt").toString
-      val q = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", col("ts").cast("timestamp"))
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("user_id", "event_type")
-        .select(col("user_id"), col("event_type"))
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.read.parquet(outDir)
     },
     // CUSTOM STATE — `flatMapGroupsWithState` (the brief's named API):
@@ -1011,56 +1117,37 @@ object Queries {
     "st03_stream_sessions" -> { (s, d) =>
       import java.nio.file.Files
       import s.implicits._
-      val events = t(s, d, "events")
-      val schema = events.schema
+      val schema = t(s, d, "events").schema
+      val staged = stagedStreamBatches(s, d)
       val inDir = Files.createTempDirectory("st03_in")
       val outDir = Files.createTempDirectory("st03_out").toString
       val ckpt = Files.createTempDirectory("st03_ckpt").toString
-      val (minTs, maxTs) = events
-        .agg(min(col("ts").cast("timestamp")), max(col("ts").cast("timestamp")))
-        .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
-      val cutoff = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
-      def writeBatch(df: DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
-        val tmp = Files.createTempDirectory(s"st03_$name").toString
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = inDir.resolve(s"$name.parquet")
-        Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
+      copyBatch(staged.resolve("b1.parquet"), inDir, "b1.parquet", 0L)
+      copyBatch(staged.resolve("b2.parquet"), inDir, "b2.parquet", 60000L)
+      copyBatch(staged.resolve("st03_sent.parquet"), inDir, "b3.parquet", 120000L)
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .select(col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tsu"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append(),
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+            Queries.sessionize)
+          .toDF("user_id", "start_us", "end_us", "n_events")
+          .select(col("user_id"),
+            timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+            timestamp_micros(col("end_us")).cast("timestamp_ntz").as("session_end"),
+            col("n_events"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
       }
-      writeBatch(events.where(col("ts").cast("timestamp") < cutoff), "b1", 0L)
-      writeBatch(events.where(col("ts").cast("timestamp") >= cutoff), "b2", 60000L)
-      writeBatch(
-        events.select(col("user_id")).distinct()
-          .withColumn("event_id", lit(-1L))
-          .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + 24L * 3600 * 1000))
-            .cast(schema("ts").dataType))
-          .withColumn("event_type", lit("__sentinel"))
-          .withColumn("value", lit(0.0)).withColumn("props", lit(""))
-          .select(schema.fieldNames.map(col): _*),
-        "b3", 120000L)
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir.toString)
-        .select(col("user_id"),
-          unix_micros(col("ts").cast("timestamp")).as("tsu"))
-        .as[(Long, Long)]
-        .groupByKey(_._1)
-        .flatMapGroupsWithState(
-          org.apache.spark.sql.streaming.OutputMode.Append(),
-          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
-          Queries.sessionize)
-        .toDF("user_id", "start_us", "end_us", "n_events")
-        .select(col("user_id"),
-          timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
-          timestamp_micros(col("end_us")).cast("timestamp_ntz").as("session_end"),
-          col("n_events"))
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .start()
-      q.processAllAvailable()
-      q.stop()
       s.read.parquet(outDir)
     },
     // WATERMARK-DRIVEN STATE CLOSURE — `EventTimeTimeout`: the production
@@ -1075,45 +1162,26 @@ object Queries {
     "st04_stream_sessions_evt" -> { (s, d) =>
       import java.nio.file.Files
       import s.implicits._
-      val events = t(s, d, "events")
-      val schema = events.schema
+      val schema = t(s, d, "events").schema
+      val staged = stagedStreamBatches(s, d)
       val inDir = Files.createTempDirectory("st04_in")
       val outDir = Files.createTempDirectory("st04_out").toString
       val ckpt = Files.createTempDirectory("st04_ckpt").toString
-      val (minTs, maxTs) = events
-        .agg(min(col("ts").cast("timestamp")), max(col("ts").cast("timestamp")))
-        .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
-      val cutoff = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
       val sentinelUid = -1L // synthetic user ids are non-negative
-      def writeBatch(df: DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
-        val tmp = Files.createTempDirectory(s"st04_$name").toString
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = inDir.resolve(s"$name.parquet")
-        Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
-      }
-      writeBatch(events.where(col("ts").cast("timestamp") < cutoff), "b1", 0L)
-      writeBatch(events.where(col("ts").cast("timestamp") >= cutoff), "b2", 60000L)
-      // one row, one key: pushes the watermark past every wall
-      // (maxTs + 24h - 1h delay > any last-event + 8h gap)
-      def sentinelBatch(name: String, hrs: Long, mtimeOffsetMs: Long): Unit =
-        writeBatch(
-          events.limit(1)
-            .withColumn("user_id", lit(sentinelUid))
-            .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + hrs * 3600 * 1000))
-              .cast(schema("ts").dataType))
-            .select(schema.fieldNames.map(col): _*),
-          name, mtimeOffsetMs)
-      sentinelBatch("b3", 24, 120000L)
-      // b4 makes the timeout firing deterministic by construction: the
-      // watermark b3 advanced is APPLIED in the next batch, and while the
-      // engine's no-data micro-batch normally provides one, that is a
-      // trigger-policy behavior — a second, later sentinel guarantees a
-      // DATA batch runs with the advanced watermark, firing every wall
-      // inside work processAllAvailable provably waits for
-      sentinelBatch("b4", 25, 180000L)
+      copyBatch(staged.resolve("b1.parquet"), inDir, "b1.parquet", 0L)
+      copyBatch(staged.resolve("b2.parquet"), inDir, "b2.parquet", 60000L)
+      // staged one-row, one-key sentinels: b3 (+24 h) pushes the watermark
+      // past every wall (maxTs + 24h - 1h delay > any last-event + 8h
+      // gap); b4 (+25 h) makes the timeout firing deterministic by
+      // construction — the watermark b3 advanced is APPLIED in the next
+      // batch, and while the engine's no-data micro-batch normally
+      // provides one, that is a trigger-policy behavior: a second, later
+      // sentinel guarantees a DATA batch runs with the advanced watermark,
+      // firing every wall inside work processAllAvailable provably waits
+      // for
+      copyBatch(staged.resolve("st04_s24.parquet"), inDir, "b3.parquet", 120000L)
+      copyBatch(staged.resolve("st04_s25.parquet"), inDir, "b4.parquet", 180000L)
+      withShufflePartitions(s, 8) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
@@ -1139,6 +1207,7 @@ object Queries {
         .start()
       q.processAllAvailable()
       q.stop()
+      }
       s.read.parquet(outDir).where(col("user_id") =!= sentinelUid)
     })
 
@@ -1394,6 +1463,36 @@ object Queries {
     // are omitted. The kernel twin is MinHash.angularSimilarity
     // (KernelSpec/FinchSpec golden); the oracle re-derives everything
     // from the raw finch JSON independently.
+    // Sketch DOWNSAMPLING — the `search --scaled` re-truncation the
+    // reference promises ("downsample query to this scaled factor",
+    // src/sourmash.yml:71-76) and drops (src/lib.rs:593-601):
+    // scaledToMaxHash completes the factor conversion, MinHash.downsample
+    // the prefix cut (keep mins <= max_hash UNSIGNED, num -> 0). The
+    // genome fixture's four sketches are downsampled at two scaled
+    // factors; the oracle filters the fixture JSON's mins independently.
+    "sm08_downsample" -> { (s, _) =>
+      if (!refExists) s.emptyDataFrame.select()
+      else {
+        val db = SignatureJson.read(s, s"$refData/genome-s10+s11.sig")
+        // factors chosen to CUT this fixture (its bottom-500 mins all sit
+        // below 2^64/1000, so small factors would be no-ops): 200k keeps
+        // 2-10 mins per sketch, 2M keeps 0-2 (incl. genuinely empty
+        // results — null first/last)
+        Seq(200000L, 2000000L).map { scaled =>
+          val mh = graft.core.SketchConfig.scaledToMaxHash(scaled)
+          db.select(col("name"), col("ksize"), col("is_protein"),
+              lit(scaled).as("scaled"), lit(mh).as("max_hash"),
+              graft.functions.GraftFunctions.downsampleMins(col("mins"), mh).as("dmins"))
+            .select(col("name"), col("ksize"), col("is_protein"),
+              col("scaled"), col("max_hash"),
+              size(col("dmins")).as("n_mins"),
+              when(size(col("dmins")) > 0, element_at(col("dmins"), 1))
+                .as("first_min"),
+              when(size(col("dmins")) > 0,
+                element_at(col("dmins"), size(col("dmins")))).as("last_min"))
+        }.reduce(_ union _)
+      }
+    },
     "sm07_abund_similarity" -> { (s, _) =>
       val path = s"${derivedDir("sm")}/finch_demo.json"
       FinchJson.writeDemoFixture(path)
@@ -1484,6 +1583,39 @@ object Queries {
         |            THEN last_u - 18446744073709551616 ELSE last_u END AS BIGINT) AS last_min,
         |       sum_abund
         |FROM agg""".stripMargin,
+    // downsample re-derived INDEPENDENTLY from the fixture JSON: the two
+    // max_hash constants are the published-sourmash float conversion
+    // round(2^64/scaled) computed by hand (scaled=100 -> the f64-rounded
+    // ...520, scaled=1000 -> ...552 — see SketchConfig.scaledToMaxHash),
+    // and the cut is a plain unsigned filter over the fixture's mins —
+    // the engine's prefix-cut binary search is never consulted
+    "sm08_downsample" ->
+      """WITH raw AS (
+        |  SELECT name, unnest(signatures) AS mh
+        |  FROM read_json('/root/reference/tests/data/genome-s10+s11.sig',
+        |    columns = {name: 'VARCHAR',
+        |      signatures: 'STRUCT(ksize BIGINT, num BIGINT, molecule VARCHAR,
+        |        md5sum VARCHAR, mins UBIGINT[])[]'})),
+        |sk AS (SELECT name, mh.ksize AS ksize,
+        |         lower(mh.molecule) = 'protein' AS is_protein, mh.mins AS mins
+        |       FROM raw),
+        |ex AS (SELECT name, ksize, is_protein, unnest(mins) AS u FROM sk),
+        |params AS (SELECT * FROM (VALUES (200000, 92233720368548),
+        |                                 (2000000, 9223372036855)) p(scaled, max_hash)),
+        |e AS (SELECT ex.name, ex.ksize, ex.is_protein, p.scaled, p.max_hash,
+        |        ex.u
+        |      FROM ex CROSS JOIN params p),
+        |agg AS (SELECT name, ksize, is_protein, scaled, max_hash,
+        |          COUNT(*) AS n_mins, CAST(MIN(u) AS BIGINT) AS first_min,
+        |          CAST(MAX(u) AS BIGINT) AS last_min
+        |        FROM e WHERE u <= CAST(max_hash AS UBIGINT)
+        |        GROUP BY name, ksize, is_protein, scaled, max_hash),
+        |base AS (SELECT s.name, s.ksize, s.is_protein, p.scaled, p.max_hash
+        |         FROM sk s CROSS JOIN params p)
+        |SELECT b.name, b.ksize, b.is_protein, b.scaled, b.max_hash,
+        |  COALESCE(a.n_mins, 0) AS n_mins, a.first_min, a.last_min
+        |FROM base b LEFT JOIN agg a
+        |  USING (name, ksize, is_protein, scaled, max_hash)""".stripMargin,
     // angular similarity re-derived from the raw finch JSON: dup-hash
     // counts merge (SUM ... GROUP BY u), zero-count entries drop, dot
     // over common hashes, norms over each full abundance vector
@@ -1544,6 +1676,59 @@ object Queries {
           udf((a: Seq[Long]) => if (a.isEmpty) "" else java.lang.Long.toUnsignedString(a.head))
             .apply(col("merged")).as("first_min"))
     },
+    // K6 ABUNDANCE-merge quirk surface — the reference's `merge` with
+    // abundance handling (/root/reference/src/lib.rs:307-403) driven
+    // end-to-end: each document is split into two halves, each half
+    // sketched WITH abundance tracking (bottom-128), and the halves are
+    // merged pairwise through MinHash.mergeWithAbundance. Two reference
+    // quirks become observable columns the oracle must reproduce:
+    //  (1) mins are re-truncated to num but abunds are NOT
+    //      (lib.rs:400, the reference's own "TODO: reduce this one too")
+    //      → n_abunds > n_mins whenever the union exceeds 128;
+    //  (2) the merge of two UNTRACKED sketches still yields an abundance
+    //      vector — empty, but present (lib.rs:392-400)
+    //      → untracked_abunds_present / untracked_n_abunds.
+    // The pairwise (not folded) formulation is deliberate: quirk (1)
+    // makes a multi-way fold order-dependent (the intermediate's abunds
+    // outrun its mins), so only the reference's own binary merge shape
+    // has a deterministic oracle.
+    "d10_abund_merge" -> { (s, d) =>
+      val cfg = docSketch // num=128, ksize=4; tracking set by the UDF
+      val halves = dumpDerived(s, d, "d10_half_sketches") {
+        t(s, d, "documents").select(col("doc_id"),
+            posexplode(expr("transform(sequence(0, 1), i -> substring(text, i * int(ceil(length(text)/2.0)) + 1, int(ceil(length(text)/2.0))))"))
+              .as(Seq("half", "chunk")))
+          .select(col("doc_id"), col("half"),
+            graft.functions.GraftFunctions.captionMinhashAbund(col("chunk"), cfg).as("sk"))
+          .select(col("doc_id"), col("half"),
+            col("sk._1").as("mins"), col("sk._2").as("abunds"))
+      }
+      val a = halves.where(col("half") === 0)
+        .select(col("doc_id"), col("mins").as("mins_a"), col("abunds").as("ab_a"))
+      val b = halves.where(col("half") === 1)
+        .select(col("doc_id"), col("mins").as("mins_b"), col("abunds").as("ab_b"))
+      val localCfg = cfg
+      val mergeUdf = udf((ma: Seq[Long], aa: Seq[Long], mb: Seq[Long], ab: Seq[Long]) => {
+        val (m, abm) = graft.core.MinHash.mergeWithAbundance(
+          ma.toArray, aa.toArray, mb.toArray, ab.toArray, localCfg)
+        // quirk (2): the same merge with tracking OFF on both sides
+        val (mu, abu) = graft.core.MinHash.mergeWithAbundance(
+          ma.toArray, null, mb.toArray, null, localCfg)
+        (m, abm, java.util.Arrays.equals(mu, m), abu != null, abu.length)
+      })
+      a.join(b, "doc_id")
+        .withColumn("r", mergeUdf(col("mins_a"), col("ab_a"), col("mins_b"), col("ab_b")))
+        .select(col("doc_id"),
+          size(col("r._1")).as("n_mins"),
+          size(col("r._2")).as("n_abunds"),
+          expr("aggregate(r._2, 0L, (acc, x) -> acc + x)").as("sum_abund"),
+          udf((m: Seq[Long]) =>
+            if (m.isEmpty) "" else java.lang.Long.toUnsignedString(m.head))
+            .apply(col("r._1")).as("first_min"),
+          col("r._3").as("untracked_same_mins"),
+          col("r._4").as("untracked_abunds_present"),
+          col("r._5").as("untracked_n_abunds"))
+    },
     // Q8 top-N report: threshold + orderBy + limit over linear search
     "sm04_search_topn" -> { (s, _) =>
       if (!refExists) s.emptyDataFrame.select()
@@ -1592,6 +1777,38 @@ object Queries {
          |  FROM r WHERE rk <= 128 GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(a.n_mins, 0) AS n_mins,
          |  coalesce(a.first_min, '') AS first_min
+         |FROM docs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // abundance-merge replica from the dumped half sketches: union of
+    // (hash → summed count) per doc in unsigned order; the quirk pair is
+    // encoded structurally — n_mins caps at 128 (LEAST) while n_abunds is
+    // the FULL union size, and the untracked columns are the constants
+    // the reference's always-Some(abunds) branch produces. A "fixed"
+    // implementation (truncating abunds with mins, or returning None)
+    // flips n_abunds / untracked_abunds_present and fails the hash.
+    "d10_abund_merge" ->
+      s"""WITH h AS (SELECT doc_id, half, mins, abunds
+         |           FROM read_parquet(${oraclePath("d10_half_sketches")})),
+         |e AS (SELECT doc_id, unnest(mins) AS m, unnest(abunds) AS ab FROM h),
+         |g AS (SELECT doc_id, m,
+         |        CASE WHEN m < 0 THEN m::HUGEINT + 18446744073709551616
+         |             ELSE m::HUGEINT END AS u,
+         |        SUM(ab) AS a
+         |      FROM e GROUP BY doc_id, m),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_union,
+         |          CAST(SUM(a) AS BIGINT) AS sum_abund,
+         |          arg_min(CASE WHEN m < 0
+         |                       THEN (m::HUGEINT + 18446744073709551616)::VARCHAR
+         |                       ELSE m::VARCHAR END, u) AS first_min
+         |        FROM g GROUP BY doc_id),
+         |docs AS (SELECT DISTINCT doc_id FROM h)
+         |SELECT d.doc_id,
+         |  COALESCE(LEAST(a.n_union, 128), 0) AS n_mins,
+         |  COALESCE(a.n_union, 0) AS n_abunds,
+         |  COALESCE(a.sum_abund, 0) AS sum_abund,
+         |  COALESCE(a.first_min, '') AS first_min,
+         |  true AS untracked_same_mins,
+         |  true AS untracked_abunds_present,
+         |  0 AS untracked_n_abunds
          |FROM docs d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // full replica over the LSH-gated candidates: bucketing/caps/pair-gen
     // from the band dump (candSql), combined-denominator jaccard (num=128,

@@ -301,6 +301,41 @@ object MinHash {
     (outMins, abunds.toArray) // abunds deliberately NOT truncated (lib.rs:400)
   }
 
+  /**
+   * Downsample an existing sketch to a coarser scaled factor — the
+   * operation `search --scaled` promises ("downsample query to this
+   * scaled factor", `/root/reference/src/sourmash.yml:71-76`) and the
+   * reference drops (the parameter is threaded into
+   * `load_query_signature` and never applied,
+   * `/root/reference/src/lib.rs:593-601`). [[SketchConfig.scaledToMaxHash]]
+   * completes the factor conversion; this completes the re-truncation:
+   * keep exactly the mins `<= newMaxHash` (UNSIGNED — the sorted-ascending
+   * invariant makes this a prefix cut), carry the parallel abundances,
+   * and the resulting sketch is scaled-mode (`num = 0`, per the
+   * deserialize rule `lib.rs:123` that scaled wins over bottom-k).
+   *
+   * Downsampling is only defined toward a coarser sketch: a caller
+   * raising `maxHash` would fabricate hashes that were never kept.
+   *
+   * @param abunds parallel abundances or null when untracked
+   * @return (downsampledMins, downsampledAbunds or null)
+   */
+  def downsample(mins: Array[Long], abunds: Array[Long],
+      newMaxHash: Long): (Array[Long], Array[Long]) = {
+    if (newMaxHash == 0L) // 0 = "not scaled": nothing to cut
+      return (mins, abunds)
+    // mins sorted ascending unsigned → binary search the cut point
+    var lo = 0
+    var hi = mins.length
+    val k = newMaxHash ^ Long.MinValue
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if ((mins(mid) ^ Long.MinValue) <= k) lo = mid + 1 else hi = mid
+    }
+    (java.util.Arrays.copyOf(mins, lo),
+      if (abunds == null) null else java.util.Arrays.copyOf(abunds, lo))
+  }
+
   /** `count_common` (`/root/reference/src/lib.rs:428-436`). */
   def countCommon(a: Array[Long], b: Array[Long]): Long =
     U64.intersectSize(a, b).toLong

@@ -45,6 +45,35 @@ object GraftFunctions {
     f(caption)
   }
 
+  /** Abundance-TRACKING caption sketch: the same shingle stream as
+    * [[captionMinhash]] fed through the reference's `add_hash` with
+    * `track_abundance` ([[SketchBuilder]],
+    * `/root/reference/src/lib.rs:202-241`: repeated shingles increment the
+    * parallel multiplicity vector, eviction drops mins and abunds
+    * together). Returns a struct `(_1 = mins, _2 = abunds)`. UDF-only
+    * deliberately: the abundance surface is the K6 quirk family (d10),
+    * not a 100-TB hot path — the mins-only codegen twin covers that. */
+  def captionMinhashAbund(caption: Column, cfg: SketchConfig): Column = {
+    val k = cfg.ksize; val seed = cfg.seed
+    val localCfg = cfg.copy(trackAbundance = true)
+    val f = udf((s: String) => {
+      val b = new SketchBuilder(localCfg)
+      if (s != null) b.addMany(Shingles.charShingleHashes(s, k, seed))
+      (b.result(), b.abundances())
+    })
+    f(caption)
+  }
+
+  /** Sketch downsampling to a coarser scaled cutoff
+    * ([[MinHash.downsample]] — the `search --scaled` re-truncation the
+    * reference promises and drops, `/root/reference/src/sourmash.yml:71-76`).
+    * Mins-only column form; abundance-carrying callers use the kernel. */
+  def downsampleMins(mins: Column, newMaxHash: Long): Column = {
+    val f = udf((m: Seq[Long]) =>
+      if (m == null) null else MinHash.downsample(m.toArray, null, newMaxHash)._1)
+    f(mins)
+  }
+
   /** Caption SimHash64 fingerprint over the same shingle stream — native
     * codegen'd expression (null caption → 0L, matching the UDF twin). */
   def captionSimhash(caption: Column, ksize: Int, seed: Long = 42L): Column =

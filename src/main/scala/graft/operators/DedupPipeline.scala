@@ -256,6 +256,29 @@ object DedupPipeline {
       .withColumn("substr_hit", col("cap_lcs") >= cfg.substringMinLen)
   }
 
+  /**
+   * Disable the STATIC broadcast planner for this session — enforced by
+   * the operator itself, not left to entrypoint session factories: the
+   * confirm joins' sketch side is UDF-derived, and Catalyst's static size
+   * estimate of a UDF-derived plan is garbage (it once planned a GB-scale
+   * broadcast → driver maxResultSize crash). AQE's RUNTIME threshold —
+   * true stage sizes — is left available (set to 32 MB when the session
+   * did not configure it), so the genuinely small candidate side still
+   * broadcasts at validation scale while the wide sketch side never can.
+   * The setting is a session-level runtime conf; a library consumer who
+   * deliberately wants static broadcasts back can reset it after the call.
+   */
+  private def guardStaticBroadcast(s: org.apache.spark.sql.SparkSession): Unit = {
+    if (s.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1") {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val adaptiveKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+      // unset adaptive threshold falls back to the static one (now -1):
+      // give AQE its own budget so runtime broadcasts stay possible
+      if (s.conf.getOption(adaptiveKey).forall(v => v == null || v.isEmpty || v == "-1"))
+        s.conf.set(adaptiveKey, "33554432")
+    }
+  }
+
   /** Confirm candidates with reference-semantics scores; emit edges. */
   def confirm(cands: DataFrame, sk: DataFrame, cfg: DedupConfig): DataFrame =
     scores(cands, sk, cfg).where(edgeRule(cfg))
@@ -287,6 +310,7 @@ object DedupPipeline {
    */
   def edges(corpus: DataFrame, cfg: DedupConfig = DedupConfig(),
       cache: CacheHandle = new CacheHandle()): (DataFrame, DataFrame) = {
+    guardStaticBroadcast(corpus.sparkSession)
     val sk = sketches(corpus, cfg)
     // one window shuffle tags each row with its exact-group rep; persisted
     // because all four band sources and both confirm sides read it.

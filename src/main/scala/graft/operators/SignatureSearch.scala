@@ -46,12 +46,20 @@ object SignatureSearch {
         val qa = if (queryAbunds != null) queryAbunds
           else Array.fill(q.length)(1L)
         require(qa.length == q.length, "queryAbunds/queryMins length mismatch")
+        // The MinHash/finch surface names the multiplicity column `abunds`
+        // (the reference's field name, src/lib.rs:45); some signature
+        // frames carry `abundances`. Resolve whichever is present; a
+        // sketch table with neither scores with flat counts of 1.
+        val abundCol =
+          if (db.columns.contains("abunds")) col("abunds")
+          else if (db.columns.contains("abundances")) col("abundances")
+          else lit(null).cast("array<long>")
         return db.withColumn("score",
           udf((mins: Seq[Long], abunds: Seq[Long]) => {
             val m = mins.toArray
             val a = if (abunds != null) abunds.toArray else Array.fill(m.length)(1L)
             MinHash.angularSimilarity(m, a, q, qa)
-          }).apply(col("mins"), col("abundances")))
+          }).apply(col("mins"), abundCol))
           .where(col("score") > threshold)
       case other => throw new IllegalArgumentException(s"unknown mode $other")
     }
@@ -81,7 +89,8 @@ object SignatureSearch {
    * kernel. Results are identical to [[linear]] for any threshold > 0.
    */
   def indexed(db: DataFrame, indexPath: String, queryMins: Array[Long],
-      cfg: SketchConfig, threshold: Double, mode: String): DataFrame = {
+      cfg: SketchConfig, threshold: Double, mode: String,
+      queryAbunds: Array[Long] = null): DataFrame = {
     val spark = db.sparkSession
     import spark.implicits._
     require(threshold > 0.0,
@@ -91,7 +100,7 @@ object SignatureSearch {
       .join(broadcast(qdf), "h") // postings pruned by the tiny query hash set
       .select(col("filename")).distinct()
     linear(db.join(broadcast(cands), Seq("filename"), "left_semi"),
-      queryMins, cfg, threshold, mode)
+      queryMins, cfg, threshold, mode, queryAbunds)
   }
 
   /**

@@ -357,4 +357,36 @@ class KernelSpec extends AnyFunSuite {
     // expected keep rate ~ 1/1000
     assert(kept.length <= 30, s"kept ${kept.length} of 5000 at scaled=1000")
   }
+
+  test("downsample: unsigned prefix cut, abunds parallel, num->0 semantics") {
+    // newMaxHash = 0 means "not scaled": identity
+    val mins = Array(1L, 5L, 9L, Long.MaxValue, Long.MinValue, -2L) // unsigned ascending
+    val ab = Array(10L, 20L, 30L, 40L, 50L, 60L)
+    assert(MinHash.downsample(mins, ab, 0L)._1 === mins)
+    // cut below 2^63: drops the wrapped (negative-signed) tail
+    val (m1, a1) = MinHash.downsample(mins, ab, 9L)
+    assert(m1 === Array(1L, 5L, 9L)) // boundary value KEPT (<=, reference rule)
+    assert(a1 === Array(10L, 20L, 30L))
+    // cut ABOVE 2^63 (unsigned): keeps Long.MinValue (= 2^63), drops -2
+    val (m2, a2) = MinHash.downsample(mins, ab, Long.MinValue)
+    assert(m2 === Array(1L, 5L, 9L, Long.MaxValue, Long.MinValue))
+    assert(a2 === Array(10L, 20L, 30L, 40L, 50L))
+    // untracked input stays untracked
+    assert(MinHash.downsample(mins, null, 9L)._2 === null)
+    // empty sketch
+    assert(MinHash.downsample(Array.empty[Long], null, 9L)._1.isEmpty)
+    // defining property: downsampling a finer scaled sketch to a coarser
+    // factor IS re-sketching the stream at the coarser factor (the
+    // --scaled promise: the search may downsample the query instead of
+    // re-reading the sequence)
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 0 until 20) {
+      val hs = Array.fill(2000)(rnd.nextLong())
+      val fine = SketchConfig.scaledToMaxHash(4L)
+      val coarse = SketchConfig.scaledToMaxHash(64L)
+      val fineSk = MinHash.sketchHashes(hs, SketchConfig(num = 0, maxHash = fine))
+      val direct = MinHash.sketchHashes(hs, SketchConfig(num = 0, maxHash = coarse))
+      assert(MinHash.downsample(fineSk, null, coarse)._1 === direct)
+    }
+  }
 }
