@@ -983,12 +983,13 @@ object Queries {
     ("ppm", 4865L, 87L, 169L, 4749L),
     ("ppmq", 73L, 97L, 160L, 73L))
   // m03 @ n=2000: (stage, rows_out)
-  // candidates = 1751 under the Manku 3-block-joint fingerprint keys
-  // (round 5; the 16-bit block keys produced 9722 — the joint keys admit
-  // 5.5x fewer coincidence pairs at identical guaranteed recall)
+  // candidates = 1108 under the radius-2 Manku fingerprint keys at
+  // joint cap 4 (round 5; the old 16-bit block keys produced 9722 — the
+  // 44-bit joints admit ~9x fewer coincidence pairs while FIXING the
+  // recall the block keys silently lost at scale; near_edges unchanged)
   val m03Expected: Seq[(String, Long)] = Seq(
     ("sketches", 2000L), ("exact_tagged", 2000L), ("exact_edges", 11L),
-    ("candidates", 1751L), ("near_edges", 90L), ("clusters", 2000L))
+    ("candidates", 1108L), ("near_edges", 90L), ("clusters", 2000L))
 
   private val multimodalOracles: Map[String, String] = Map(
     // deterministic decode statistics of the fixed synthetic corpus

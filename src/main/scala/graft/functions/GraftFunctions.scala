@@ -235,12 +235,36 @@ object GraftFunctions {
    * values in 11-bit slots — max ≈ 2^37.4, exact in a long. Codegen'd
    * built-ins only (shifts/masks), no UDF.
    */
-  def fingerprintBandsHamming(fp: Column): Column = {
+  def fingerprintBandsHamming(fp: Column): Column =
+    fingerprintCombos(fp, pick = 3)
+
+  /**
+   * The radius-2 variant: same 6 blocks, keyed on every C(6,4) = 15
+   * combination of 4 blocks (~44-bit joints). Any pair within Hamming
+   * distance 2 flips bits in at most 2 blocks, leaving ≥ 4 clean blocks
+   * and ≥ 1 matching 4-combo key (ham-1 pairs share 5 tables, ham-0 all
+   * 15 — redundancy that carries recall through tight heat caps).
+   *
+   * Why radius 2 and not 3 for the pipeline: key SELECTIVITY is the
+   * scale dial. Fingerprints of correlated content (structured image
+   * phashes) are far from uniform — measured on the 600k synthetic
+   * corpus, 33-bit 3-block joints produced 12.7M coincidence candidate
+   * pairs (buckets ≤ 16) from 596k rows, exploding the confirm stage
+   * ~50×, while the 44-bit 4-block joints cut that mass by ~2^11. True
+   * same-image transforms measure ham ≤ 2 here, so radius 2 is the
+   * guaranteed tier; ham-3 pairs still surface through the MinHash band
+   * sources and score with `ph_ham <= 3` corroboration at confirm.
+   */
+  def fingerprintBandsHamming2(fp: Column): Column =
+    fingerprintCombos(fp, pick = 4)
+
+  private def fingerprintCombos(fp: Column, pick: Int): Column = {
     val widths = Seq(11, 11, 11, 11, 10, 10)
     val offsets = widths.scanLeft(0)(_ + _).init // 0,11,22,33,44,54
     def block(i: Int): Column =
       shiftrightunsigned(fp, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1L))
-    val combos = (0 until 6).combinations(3).toSeq
+    val combos = (0 until 6).combinations(pick).toSeq
+    // tag + `pick` 11-bit value slots: pick=4 → 5 + 44 bits, exact in a long
     array(combos.zipWithIndex.map { case (c, tag) =>
       c.foldLeft(lit(tag.toLong): Column)((acc, i) => acc * lit(2048L) + block(i))
     }: _*)

@@ -40,6 +40,15 @@ final case class DedupConfig(
     phashMaxHamming: Int = 3,
     simhashMaxHamming: Int = 3,
     maxBucket: Int = 64,
+    // tight heat cap for the fingerprint JOINT buckets: on dense
+    // correlated content the joint-bucket size distribution is heavy-
+    // tailed (measured at 600k rows: ~650k candidate pairs PER size
+    // tier 2 / 3-4 / 5-8 / 9-16), so Σ C(size,2) is what this cap
+    // bounds. Table redundancy, not bucket depth, carries recall
+    // through it: a ham-1 pair shares C(5,4)=5 of the 15 combo tables,
+    // ham-0 all 15 (same-image transforms measure ham ≤ 2; the n=100k
+    // e2e gate pins recall 1.0 under this cap).
+    fpJointMaxBucket: Int = 4,
     substringMinLen: Int = 20,
     // head-rewrite (splice) floor for the suffix-array pass. It bounds
     // the caption-side false-positive MASS (measured on the synthetic
@@ -142,19 +151,24 @@ object DedupPipeline {
       skReps.select(col("vid").as("id"),
         minhashBands(col("img_mins"), cfg.imgBands, cfg.imgRowsPerBand, cfg.imgSketch.seed).as("bk")),
       "id", "bk", sourceTag = 2)
-    // fingerprint sources use the Manku multi-piece scheme (6 blocks,
-    // C(6,3)=20 three-block joint keys): ham <= 3 candidate recall is
-    // guaranteed AND the keys stay cold on structured fingerprints —
-    // single 16-bit pigeonhole blocks saturate at scale (at 10^5 rows,
-    // 92% of block mass sat past the heat cap and the phash path was
-    // silently dead; the n=100k e2e gate caught 59 lost ham-1/2 pairs)
+    // fingerprint sources use the Manku multi-piece scheme at radius 2
+    // (6 blocks, C(6,4)=15 four-block ~44-bit joint keys): ham <= 2
+    // candidate recall is guaranteed by pigeonhole — the radius all true
+    // same-image transforms measure — and key selectivity is what holds
+    // at scale. The two rejected designs are instructive: single 16-bit
+    // pigeonhole blocks saturate (at 10^5 rows, 92% of block mass sat
+    // past the heat cap and the phash path was silently dead — 59 lost
+    // capedit pairs), and 3-block 33-bit joints (radius-3 guarantee)
+    // stayed cold per-bucket but admitted 12.7M coincidence pairs at
+    // 600k rows on correlated phashes, a 50x confirm blowup. See
+    // GraftFunctions.fingerprintBandsHamming2.
     val ph = Lsh.explodeBands(
       skReps.select(col("vid").as("id"),
-        fingerprintBandsHamming(col("phash")).as("bk")),
+        fingerprintBandsHamming2(col("phash")).as("bk")),
       "id", "bk", sourceTag = 3)
     val sh = Lsh.explodeBands(
       skReps.select(col("vid").as("id"),
-        fingerprintBandsHamming(col("cap_simhash")).as("bk")),
+        fingerprintBandsHamming2(col("cap_simhash")).as("bk")),
       "id", "bk", sourceTag = 4)
     // full-phash equality as its own source: a ham-0 pair riding inside a
     // genuine near-identical MASS sees every 3-block joint bucket heat
@@ -165,14 +179,14 @@ object DedupPipeline {
     val phx = Lsh.explodeBands(
       skReps.select(col("vid").as("id"), array(col("phash")).as("bk")),
       "id", "bk", sourceTag = 5)
-    // One shared bucket shuffle for all five sources. The 3-block joint
-    // fingerprint keys are as selective as the MinHash bands, so every
-    // source takes the standard heat cap; a joint bucket past the cap is
-    // a genuine near-identical mass (ham-0 fraction recovered by the
-    // exact-phash source phx), not block boilerplate.
+    // One shared bucket shuffle for all five sources; MinHash bands and
+    // exact-phash groups take the standard heat cap, fingerprint joints
+    // the tighter one (see fpJointMaxBucket — redundant combo tables
+    // carry their recall, and a joint bucket past the cap is coincidence
+    // mass whose ham-0 fraction the exact-phash source recovers).
     Lsh.candidatePairsCapped(
-      cap.union(img).union(phx).union(ph).union(sh)
-        .withColumn("cap", lit(cfg.maxBucket)))
+      cap.union(img).union(phx).withColumn("cap", lit(cfg.maxBucket))
+        .union(ph.union(sh).withColumn("cap", lit(cfg.fpJointMaxBucket))))
   }
 
   /**
@@ -281,15 +295,37 @@ object DedupPipeline {
       substring(col("cn_a"), 1, cfg.lcsMaxChars),
       substring(col("cn_b"), 1, cfg.lcsMaxChars))
     // cheap-rule disjunction (everything but suffix_lcs — the only rule
-    // that reads cap_lcs) gates the expensive kernel; -1 = "not computed"
+    // that reads cap_lcs) gates the expensive kernel; -1 = "already an
+    // edge, not computed". A second gate skips pairs where the kernel
+    // CANNOT MATTER: suffix_lcs only fires when its non-lcs
+    // corroborations hold ([[lcsRelevance]] — the rule with the lcs
+    // terms removed), so a pair failing them keeps the same edge status
+    // whatever cap_lcs would be; -2 = "irrelevant, not computed". This
+    // is the gate that matters at scale: fingerprint-coincidence
+    // candidates (img_sim = 0 junk) were paying the O(len·log len)
+    // suffix sort precisely because they confirmed nothing cheap —
+    // 36 µs/pair × millions. The emitted EDGE SET is provably identical
+    // under both gates; the rule-attribution spec passes `lcsAll = true`
+    // to score every rule on every pair.
     val cheapConfirmed = edgeRules(cfg)
       .collect { case (name, c) if name != "suffix_lcs" => c }
       .reduce(_ || _)
     scored
       .withColumn("cap_lcs",
-        if (lcsAll) lcsExpr else when(cheapConfirmed, lit(-1)).otherwise(lcsExpr))
+        if (lcsAll) lcsExpr
+        else when(cheapConfirmed, lit(-1))
+          .when(!lcsRelevance(cfg), lit(-2))
+          .otherwise(lcsExpr))
       .withColumn("substr_hit", col("cap_lcs") >= cfg.substringMinLen)
   }
+
+  /** The suffix_lcs rule's NON-lcs corroborations (both branches, lcs
+    * terms removed): when false, no cap_lcs value can make the pair an
+    * edge, so [[scores]] may skip the suffix-array kernel. MUST stay the
+    * lcs-free weakening of the "suffix_lcs" entry in [[edgeRules]]. */
+  def lcsRelevance(cfg: DedupConfig): Column =
+    (col("cap_contain") >= 0.9 && col("img_sim") >= 0.15) ||
+    (col("ph_ham") <= cfg.phashMaxHamming && col("img_sim") > 0.0)
 
   /**
    * Disable the STATIC broadcast planner for this session — enforced by

@@ -224,10 +224,15 @@ class PipelineSpec extends AnyFunSuite {
     val short = edgeSet(false)
     assert(full.nonEmpty)
     assert(short === full, "short-circuit changed the confirmed edge set")
-    // the gate is load-bearing: cheap-confirmed pairs skip the kernel
-    val sentinels = DedupPipeline.scores(cands, skReps, cfg)
-      .where($"cap_lcs" === -1).count()
-    assert(sentinels > 0, "no pair took the short-circuit — gate dead?")
+    // both gates are load-bearing: cheap-confirmed pairs skip the kernel
+    // (-1), and pairs where no lcs value could matter skip it too (-2)
+    val bySentinel = DedupPipeline.scores(cands, skReps, cfg)
+      .groupBy($"cap_lcs" === -1, $"cap_lcs" === -2).count()
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(bySentinel.getOrElse((true, false), 0L) > 0,
+      "no pair took the cheap-confirmed short-circuit — gate dead?")
+    assert(bySentinel.getOrElse((false, true), 0L) > 0,
+      "no pair took the irrelevance short-circuit — gate dead?")
     cands.unpersist(); tagged.unpersist()
   }
 
