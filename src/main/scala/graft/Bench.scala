@@ -96,9 +96,13 @@ object Bench {
     // for local iteration on the scaling arms; driver runs always do both)
     val loadSurface = loadavg()
     var spark = session(cpus)
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the surface for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val results =
       if (sys.env.contains("SPARK_GRAFT_FLAGSHIP_ONLY")) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val sec = try {
           timeIt(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         } catch { case e: Throwable =>
@@ -139,7 +143,8 @@ object Bench {
     // overwrites BENCH/last_bench.json — that file is the driver record,
     // which always includes the flagship scaling arms)
     if (sys.env.contains("SPARK_GRAFT_SKIP_FLAGSHIP")) {
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""loadavg_surface":$loadSurface%.2f,"loadavg_end":${loadavg()}%.2f,"sf":"$sfDir"}""")
       spark.stop()
       return
     }

@@ -15,6 +15,7 @@ import graft.functions.expressions._
  *   graft_containment(minsA, minsB)     — asymmetric containment
  *   graft_band_keys(mins, bands, rows)  — LSH band keys
  *   graft_angular(mA, aA, mB, aB)       — abundance-weighted (angular)
+ *   graft_downsample(mins, scaled)      — re-truncate to a coarser scaled
  *
  * Register either per-session (`GraftExtensions.register(spark)`) or
  * cluster-wide via
@@ -56,6 +57,19 @@ object GraftExtensions {
         case Seq(m, bands, rows) =>
           MinhashBandKeys(m, intLit(bands, "bands"), intLit(rows, "rowsPerBand"), 42L)
         case _ => throw new IllegalArgumentException("graft_band_keys(mins, bands, rows)")
+      }),
+    ("graft_downsample",
+      new ExpressionInfo(classOf[DownsampleMinhash].getName, "graft_downsample"),
+      (args: Seq[Expression]) => args match {
+        case Seq(m, scaled) =>
+          val s = scaled match {
+            case Literal(v: Int, _) => v.toLong
+            case Literal(v: Long, _) => v
+            case other => throw new IllegalArgumentException(
+              s"scaled must be an integer literal, got $other")
+          }
+          DownsampleMinhash(m, graft.core.SketchConfig.scaledToMaxHash(s))
+        case _ => throw new IllegalArgumentException("graft_downsample(mins, scaled)")
       }),
     ("graft_angular",
       new ExpressionInfo(classOf[AngularMinhash].getName, "graft_angular"),

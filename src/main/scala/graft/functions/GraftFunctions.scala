@@ -67,8 +67,13 @@ object GraftFunctions {
   /** Sketch downsampling to a coarser scaled cutoff
     * ([[MinHash.downsample]] — the `search --scaled` re-truncation the
     * reference promises and drops, `/root/reference/src/sourmash.yml:71-76`).
-    * Mins-only column form; abundance-carrying callers use the kernel. */
-  def downsampleMins(mins: Column, newMaxHash: Long): Column = {
+    * Native codegen'd prefix cut; mins-only column form (abundance-
+    * carrying callers use the kernel). */
+  def downsampleMins(mins: Column, newMaxHash: Long): Column =
+    Bridge.column(expressions.DownsampleMinhash(Bridge.expression(mins), newMaxHash))
+
+  /** UDF formulation of [[downsampleMins]] — differential-test oracle. */
+  def downsampleMinsUdf(mins: Column, newMaxHash: Long): Column = {
     val f = udf((m: Seq[Long]) =>
       if (m == null) null else MinHash.downsample(m.toArray, null, newMaxHash)._1)
     f(mins)

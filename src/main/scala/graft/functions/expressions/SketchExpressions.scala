@@ -63,6 +63,25 @@ object SketchKernels {
     common.toDouble / na.toDouble
   }
 
+  /** Downsample prefix cut: keep mins <= maxHash (UNSIGNED; the sorted-
+    * ascending invariant makes this a binary-searched prefix copy) —
+    * the kernel twin of [[graft.core.MinHash.downsample]], mins only. */
+  def downsample(m: ArrayData, maxHash: Long): ArrayData = {
+    val n = m.numElements()
+    if (maxHash == 0L || n == 0) return m // 0 = "not scaled"
+    var lo = 0
+    var hi = n
+    val k = maxHash ^ java.lang.Long.MIN_VALUE
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if ((m.getLong(mid) ^ java.lang.Long.MIN_VALUE) <= k) lo = mid + 1 else hi = mid
+    }
+    val out = new Array[Long](lo)
+    var i = 0
+    while (i < lo) { out(i) = m.getLong(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Dot product of two ARRAY<DOUBLE> columns, left-to-right accumulation. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -254,6 +273,21 @@ case class ContainmentMinhash(left: Expression, right: Expression)
       s"graft.functions.expressions.SketchKernels.containment($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `graft_downsample(mins, scaled)` — sketch re-truncation to a coarser
+  * scaled cutoff (the `search --scaled` operation the reference promises
+  * and drops, sourmash.yml:71-76); codegen'd prefix cut. `maxHash` is
+  * pre-converted from the scaled literal at registration. */
+case class DownsampleMinhash(child: Expression, maxHash: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(m: Any): Any =
+    SketchKernels.downsample(m.asInstanceOf[ArrayData], maxHash)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, m =>
+      s"graft.functions.expressions.SketchKernels.downsample($m, ${maxHash}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** `minhash_band_keys(mins)` — LSH band keys, codegen'd. */

@@ -56,6 +56,21 @@ class AggSqlSpec extends AnyFunSuite {
         |FROM sqlspec_sketches a WHERE a.id = 'x'""".stripMargin).head()
     assert(math.abs(ang.getDouble(0) - math.rint(1e9 * 11.0 / math.sqrt(294.0)) / 1e9) < 1e-12)
     assert(math.abs(ang.getDouble(1) - 1.0) < 1e-12)
+
+    // graft_downsample: unsigned prefix cut at scaled->maxHash, and the
+    // kernel-twin equivalence on a sketch that wraps past 2^63
+    val ds = spark.sql(
+      // scaled=2 -> max_hash = 2^63: keeps the wrapped Long.MinValue
+      // (= 2^63 unsigned) and drops -2 (= 2^64-2)
+      """SELECT graft_downsample(array(1L, 9L, 9223372036854775807L,
+        |                              -9223372036854775808L, -2L), 2) AS cut,
+        |       graft_downsample(a.mins, 1) AS keep_all
+        |FROM sqlspec_sketches a WHERE a.id = 'x'""".stripMargin).head()
+    assert(ds.getSeq[Long](0) ===
+      Seq(1L, 9L, Long.MaxValue, Long.MinValue))
+    val minsX = spark.sql("SELECT mins FROM sqlspec_sketches WHERE id = 'x'")
+      .head().getSeq[Long](0)
+    assert(ds.getSeq[Long](1) === minsX) // scaled=1 keeps every hash
   }
 
   test("S3 compressed-input analog: gzipped signature JSON reads transparently") {

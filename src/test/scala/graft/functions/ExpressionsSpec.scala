@@ -40,6 +40,15 @@ class ExpressionsSpec extends AnyFunSuite {
       assert(r.getDouble(2) === r.getDouble(3), "containment mismatch")
       assert(r.getSeq[Long](4) === r.getSeq[Long](5), "band keys mismatch")
     }
+    // downsample: native prefix cut == UDF oracle at cuts below and
+    // above 2^63 (unsigned order), plus the 0 = "not scaled" identity
+    for (mh <- Seq(0L, 1L << 40, Long.MinValue, -2L)) {
+      val ds = df.select(
+        downsampleMins($"a", mh).as("native"),
+        downsampleMinsUdf($"a", mh).as("udf")).collect()
+      ds.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+        s"downsample mismatch at maxHash=$mh"))
+    }
   }
 
   test("native jaccard equals kernel MinHash.compare across num configs") {
@@ -140,7 +149,8 @@ class ExpressionsSpec extends AnyFunSuite {
     val df = spark.read.parquet(tmp)
       .select(jaccard($"a", $"b", cfg).as("j"), minhashBands($"a", 16, 8).as("bk"),
         angularSimilarity($"a", expr("array_repeat(1L, size(a))"),
-          $"b", expr("array_repeat(1L, size(b))")).as("ang"))
+          $"b", expr("array_repeat(1L, size(b))")).as("ang"),
+        downsampleMins($"a", 1L << 40).as("ds"))
     val hasWsc = df.queryExecution.executedPlan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
     assert(hasWsc, df.queryExecution.executedPlan.toString)
