@@ -839,9 +839,13 @@ object Queries {
       // oracle is round-count-agnostic: it replicates the search from
       // whatever codebook was dumped.
       val lloydIters = if (nRows < 10000L) 3 else 5
+      // bounded tables train DRIVER-LOCAL (one collect job, zero
+      // per-round latency — the FAISS sample-in-memory posture); the
+      // table-statistics row count is what proves boundedness. A 10⁹-row
+      // table instead sets trainSampleMod to make the sample bounded.
       val codebook = dumpDerived(s, d, "e04_centroids")(
         Similarity.ivfTrain(emb, "vec_id", "embedding", nCells = nCells,
-          dim = 64, iters = lloydIters))
+          dim = 64, iters = lloydIters, collectTrain = nRows <= 100000L))
       // the inverted file is MATERIALIZED (parquet) before search — the
       // assignment flop pass runs once, not once per search-side consumer
       val assign = dumpDerived(s, d, "e04_assign")(

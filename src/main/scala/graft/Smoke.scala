@@ -56,6 +56,41 @@ object Smoke {
       spark.stop()
       return
     }
+    // dev probe: `runMain graft.Smoke --confirm-breakdown [rows]` reports
+    // where the confirm stage's time goes: candidate count, the cap_lcs
+    // sentinel distribution (-1 cheap-confirmed / -2 irrelevant / >=0 the
+    // pairs that actually paid the suffix sort), and edge count
+    if (args.headOption.contains("--confirm-breakdown")) {
+      import graft.operators.{DedupPipeline, DedupConfig}
+      import graft.sources.SyntheticCorpus
+      import org.apache.spark.sql.functions.{col, lit, count, sum, when}
+      val rows = if (args.length > 1) args(1).toLong else 600000L
+      val cfg = DedupConfig()
+      val corpus = SyntheticCorpus.corpus(spark, rows, partitions = 64).toDF()
+      val tagged = DedupPipeline.exactDedupWindowed(
+        DedupPipeline.sketches(corpus, cfg)).persist()
+      val skReps = tagged.where(col("image_id") === col("rep"))
+      val cands = DedupPipeline.candidates(skReps, cfg).persist()
+      val nCands = cands.count()
+      val t0 = System.nanoTime()
+      val sc = DedupPipeline.scores(cands, skReps, cfg).persist()
+      val dist = sc.agg(
+        count(lit(1)).as("pairs"),
+        sum(when(col("cap_lcs") === -1, 1L).otherwise(0L)).as("cheap"),
+        sum(when(col("cap_lcs") === -2, 1L).otherwise(0L)).as("irrelevant"),
+        sum(when(col("cap_lcs") >= 0, 1L).otherwise(0L)).as("lcs_paid")).head()
+      val tScore = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nEdges = sc.where(DedupPipeline.edgeRule(cfg)).count()
+      val tFilter = (System.nanoTime() - t1) / 1e9
+      println(f"[breakdown] rows=$rows cands=$nCands score=$tScore%.1fs " +
+        f"filter=$tFilter%.1fs edges=$nEdges")
+      println(s"[breakdown] cap_lcs: cheap=${dist.getLong(1)} " +
+        s"irrelevant=${dist.getLong(2)} lcs_paid=${dist.getLong(3)}")
+      sc.unpersist(); cands.unpersist(); tagged.unpersist()
+      spark.stop()
+      return
+    }
     // dev probe: `runMain graft.Smoke --confirm-plan [rows]` prints the
     // EXECUTED (post-AQE) plan of the confirm join, to check whether the
     // merge hint leaves room for a runtime broadcast

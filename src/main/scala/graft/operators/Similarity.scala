@@ -199,7 +199,8 @@ object Similarity {
    * needs.
    */
   def ivfTrain(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-      dim: Int, iters: Int = 5, trainSampleMod: Int = 1): DataFrame = {
+      dim: Int, iters: Int = 5, trainSampleMod: Int = 1,
+      collectTrain: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // trainSampleMod > 1 trains on a DETERMINISTIC 1/mod hash-sample of
@@ -208,6 +209,15 @@ object Similarity {
     // and a sample trains an equally good codebook.
     val base = if (trainSampleMod <= 1) df
       else df.where(pmod(xxhash64(col(idCol)), lit(trainSampleMod)) === 0)
+    // Bounded-sample in-memory training (the FAISS posture: k-means always
+    // trains on a sample that fits memory — at 10⁹ rows the caller sizes
+    // trainSampleMod so `base` IS that sample). One Spark job collects
+    // (hash, vector); the Lloyd rounds are then a driver-local loop —
+    // no per-round job latency, and the fixpoint check is exact because a
+    // serial loop has no aggregation-order float noise. The CALLER asserts
+    // boundedness (e.g. row count from table statistics); this path must
+    // never see an unbounded `base`.
+    if (collectTrain) return ivfTrainCollected(spark, base, idCol, vecCol, nCells, iters)
     // one materialization feeds every Lloyd round (each round would
     // otherwise re-run the scan + element casts + norms); released before
     // returning.
@@ -253,6 +263,78 @@ object Similarity {
       }
       cents.toSeq.toDF("cell", "cv")
     } finally v.unpersist(false)
+  }
+
+  /** Driver-local Lloyd over a collected bounded training set — the
+    * `collectTrain` branch of [[ivfTrain]]. Assignment semantics mirror
+    * the distributed path: cosine rounded to 6 digits from hoisted
+    * norms (HALF_UP, like Spark's `round`), ties to the lowest cell,
+    * empty cells keep their previous centroid, 1e-12 fixpoint stop —
+    * which a serial loop actually REACHES (no between-job summation-
+    * order noise), so small tables converge in the minimum rounds. */
+  private def ivfTrainCollected(spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int): DataFrame = {
+    import spark.implicits._
+    // ONE job: (init-order hash, id, vector) — same deterministic init
+    // ordering as the distributed path (xxhash64 of the id, then id)
+    val rows: Array[(Long, Long, Seq[Double])] = base
+      .select(xxhash64(col(idCol)).as("h"), col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .as[(Long, Long, Seq[Double])].collect()
+    val data: Array[Array[Double]] = rows.map(_._3.toArray)
+    def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def round6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nrm: Array[Double] = data.map(v => dotLocal(v, v))
+    var cents: Array[Array[Double]] = rows.indices
+      .sortBy(i => (rows(i)._1, rows(i)._2)).take(nCells)
+      .map(i => data(i).clone).toArray
+    val k = cents.length
+    var it = 0
+    var converged = false
+    while (it < iters && !converged && k > 0) {
+      val cn = cents.map(c => dotLocal(c, c))
+      val sums = Array.fill(k)(new Array[Double](if (data.isEmpty) 0 else data(0).length))
+      val counts = new Array[Long](k)
+      var r = 0
+      while (r < data.length) {
+        // strict > with ascending c = ties to the lowest cell (the
+        // distributed path's orderBy(csim desc, cell))
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val sim = round6(dotLocal(data(r), cents(c)) / math.sqrt(nrm(r) * cn(c)))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val v = data(r)
+        var j = 0
+        while (j < v.length) { sums(best)(j) += v(j); j += 1 }
+        r += 1
+      }
+      val next = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) // empty cells keep their centroid
+        else sums(c).map(_ / counts(c))
+      }
+      converged = next.zip(cents).forall { case (a, b) =>
+        a.length == b.length && a.zip(b).forall {
+          case (x, y) => math.abs(x - y) <= 1e-12
+        }
+      }
+      cents = next
+      it += 1
+    }
+    cents.zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv.toSeq) }.toSeq.toDF("cell", "cv")
   }
 
   /**

@@ -162,6 +162,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(perQuery.forall(_ == 3), perQuery.toString)
   }
 
+  test("e04 collected (driver-local) Lloyd matches the distributed path") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // same init, same assignment semantics — the two paths differ only in
+    // summation order (Spark's avg vs a serial loop), so centroids must
+    // agree to float-noise tolerance round by round
+    for (iters <- Seq(1, 3)) {
+      val dist = Similarity.ivfTrain(emb, "vec_id", "embedding",
+          nCells = 4, dim = 64, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val coll = Similarity.ivfTrain(emb, "vec_id", "embedding",
+          nCells = 4, dim = 64, iters = iters, collectTrain = true)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(dist.keySet === coll.keySet)
+      dist.foreach { case (cell, cv) =>
+        val cv2 = coll(cell)
+        assert(cv.size === cv2.size)
+        cv.zip(cv2).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-9, s"iters=$iters cell=$cell: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("e04 plans: one broadcast-codebook flop pass; cartesian-free search") {
     import graft.operators.Similarity
     // string-level checks: AdaptiveSparkPlanExec does not expose its

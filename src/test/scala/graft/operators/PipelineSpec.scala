@@ -236,6 +236,32 @@ class PipelineSpec extends AnyFunSuite {
     cands.unpersist(); tagged.unpersist()
   }
 
+  test("prefilter: edge set identical, reject pass is load-bearing") {
+    val n = 1500L
+    val cfg = DedupConfig()
+    val corpus = SyntheticCorpus.corpus(spark, n).toDF()
+    val tagged = DedupPipeline.exactDedupWindowed(
+      DedupPipeline.sketches(corpus, cfg)).cache()
+    val skReps = tagged.where($"image_id" === $"rep")
+    val cands = DedupPipeline.candidates(skReps, cfg).cache()
+    val nCands = cands.count()
+    // the slim reject pass may only drop pairs no rule could confirm:
+    // edges from the unfiltered candidate set must survive it exactly
+    val unfiltered = DedupPipeline.scores(cands, skReps, cfg)
+      .where(DedupPipeline.edgeRule(cfg))
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept = DedupPipeline.prefilter(cands, skReps, cfg)
+    val nKept = kept.count()
+    val confirmed = DedupPipeline.confirm(cands, skReps, cfg)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unfiltered.nonEmpty)
+    assert(confirmed === unfiltered, "prefilter changed the confirmed edge set")
+    // load-bearing: the fingerprint-coincidence mass actually gets dropped
+    assert(nKept < nCands, s"prefilter kept all $nCands candidates — gate dead?")
+    info(s"prefilter kept $nKept of $nCands candidates, ${unfiltered.size} edges")
+    cands.unpersist(); tagged.unpersist()
+  }
+
   test("end-to-end dedup: recall >= 0.99 vs ground truth at n=2000") {
     assertDedupMatchesGroundTruth(2000L, maxFusions = 0)
   }
