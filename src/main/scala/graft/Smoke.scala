@@ -56,6 +56,51 @@ object Smoke {
       spark.stop()
       return
     }
+    // dev probe: `runMain graft.Smoke --cluster-time rows cores [nopre]`
+    // times ONE full flagship clustering run in a fresh session at
+    // local[cores] with the Bench arm config (shuffle width 64, split
+    // 64) — the fast A/B harness for flagship plan changes; `nopre`
+    // disables the confirm prefilter
+    if (args.headOption.contains("--cluster-time")) {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val rows = args(1).toLong
+      val cores = args(2).toInt
+      val cfg = graft.operators.DedupConfig(
+        confirmPrefilter = !args.contains("nopre"))
+      // optional bcast=<bytes> arg overrides the AQE broadcast budget
+      val bcast = args.collectFirst { case a if a.startsWith("bcast=") =>
+        a.stripPrefix("bcast=") }.getOrElse("33554432")
+      val s2 = SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft-cluster-time")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
+        .config("spark.local.dir",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+          else System.getProperty("java.io.tmpdir"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s2.sparkContext.setLogLevel("WARN")
+      graft.sources.SyntheticCorpus.corpus(s2, 2000L).toDF()
+        .write.format("noop").mode("overwrite").save() // JIT warmup
+      val cache = new graft.operators.CacheHandle()
+      val t0 = System.nanoTime()
+      graft.operators.DedupPipeline.clusters(
+          graft.sources.SyntheticCorpus.corpus(s2, rows, partitions = 64).toDF(),
+          cfg, cache = cache)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[cluster-time] rows=$rows cores=$cores " +
+        f"prefilter=${cfg.confirmPrefilter} wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      cache.release()
+      s2.stop()
+      return
+    }
     // dev probe: `runMain graft.Smoke --confirm-breakdown [rows]` reports
     // where the confirm stage's time goes: candidate count, the cap_lcs
     // sentinel distribution (-1 cheap-confirmed / -2 irrelevant / >=0 the

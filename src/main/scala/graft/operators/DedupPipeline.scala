@@ -64,6 +64,10 @@ final case class DedupConfig(
     // confirm-stage work and memory on pathological captions; any real
     // splice/containment decision resolves well within it
     lcsMaxChars: Int = 4096,
+    // the slim coincidence-reject pass in front of the confirm join
+    // (see [[DedupPipeline.prefilter]]); exposed as a dial for A/B
+    // measurement — the edge set is identical either way
+    confirmPrefilter: Boolean = true,
     ccMaxIter: Int = 25)
 
 /**
@@ -259,7 +263,71 @@ object DedupPipeline {
     * it. The rule-attribution spec passes `lcsAll = true` to score every
     * rule on every pair. */
   def scores(cands: DataFrame, sk: DataFrame, cfg: DedupConfig,
-      lcsAll: Boolean = false): DataFrame = {
+      lcsAll: Boolean = false): DataFrame =
+    if (lcsAll || !cfg.confirmPrefilter) scoresMonolithic(cands, sk, cfg, lcsAll)
+    else scoresStaged(cands, sk, cfg)
+
+  /**
+   * The pipeline-mode confirm shape: STAGED scoring. Stage 1 joins the
+   * candidates against a slim `(img_mins, phash, cap_simhash)`
+   * projection (~40% of the full payload bytes) and computes the
+   * image/fingerprint scores; the coincidence-reject gate runs right
+   * there — `img_sim > 0 OR ph_ham <= phashMaxHamming` is the
+   * corroboration floor EVERY [[edgeRules]] entry requires (see
+   * [[prefilter]] for the rule-by-rule argument), so pairs failing it
+   * are dropped before the caption sketches and the normalized caption
+   * STRING ever join. Stage 2 attaches the caption payload to the
+   * survivors only and computes the caption scores + the gated LCS.
+   *
+   * Why staged: fingerprint joint keys admit pairwise-coincidence
+   * candidates in bulk (1.53M of 1.56M candidates at 600k rows), and a
+   * candidate side that large is past any broadcast budget — a
+   * monolithic confirm join sort-merges the full ~2.5 KB sketch payload
+   * per junk pair. Staging sorts the slim half for everyone and the
+   * caption half for the near-edge-density survivors, which is also
+   * exactly the shape that survives 10¹² rows (nothing wide ever
+   * shuffles for a pair no rule could confirm).
+   *
+   * The emitted EDGE SET is identical to the monolithic shape
+   * (spec-asserted); dropped pairs are provably non-edges.
+   */
+  private def scoresStaged(cands: DataFrame, sk: DataFrame,
+      cfg: DedupConfig): DataFrame = {
+    val sa = sk.select(col("vid").as("a"), col("img_mins").as("img_a"),
+      col("phash").as("ph_a"), col("cap_simhash").as("sh_a"))
+    val sb = sk.select(col("vid").as("b"), col("img_mins").as("img_b"),
+      col("phash").as("ph_b"), col("cap_simhash").as("sh_b"))
+    val slim = cands.join(sa, "a").join(sb, "b")
+      .withColumn("img_sim", jaccard(col("img_a"), col("img_b"), cfg.imgSketch))
+      .withColumn("ph_ham", hamming64(col("ph_a"), col("ph_b")))
+      .withColumn("sh_ham", hamming64(col("sh_a"), col("sh_b")))
+      .where(col("img_sim") > 0.0 || col("ph_ham") <= cfg.phashMaxHamming)
+      .select(col("a"), col("b"), col("img_sim"), col("ph_ham"), col("sh_ham"))
+    val ca = sk.select(col("vid").as("a"), col("cap_mins").as("cap_a"),
+      col("cap_norm").as("cn_a"))
+    val cb = sk.select(col("vid").as("b"), col("cap_mins").as("cap_b"),
+      col("cap_norm").as("cn_b"))
+    val scored = slim.join(ca, "a").join(cb, "b")
+      .withColumn("cap_sim", jaccard(col("cap_a"), col("cap_b"), cfg.capSketch))
+      .withColumn("cap_contain",
+        greatest(containment(col("cap_a"), col("cap_b")),
+          containment(col("cap_b"), col("cap_a"))))
+    val lcsExpr = captionLcs(
+      substring(col("cn_a"), 1, cfg.lcsMaxChars),
+      substring(col("cn_b"), 1, cfg.lcsMaxChars))
+    val cheapConfirmed = edgeRules(cfg)
+      .collect { case (name, c) if name != "suffix_lcs" => c }
+      .reduce(_ || _)
+    scored
+      .withColumn("cap_lcs",
+        when(cheapConfirmed, lit(-1))
+          .when(!lcsRelevance(cfg), lit(-2))
+          .otherwise(lcsExpr))
+      .withColumn("substr_hit", col("cap_lcs") >= cfg.substringMinLen)
+  }
+
+  private def scoresMonolithic(cands: DataFrame, sk: DataFrame, cfg: DedupConfig,
+      lcsAll: Boolean): DataFrame = {
     val a = sk.select(
       col("vid").as("a"), col("cap_mins").as("cap_a"), col("img_mins").as("img_a"),
       col("cap_simhash").as("sh_a"), col("phash").as("ph_a"), col("cap_norm").as("cn_a"))
@@ -387,10 +455,12 @@ object DedupPipeline {
   }
 
   /** Confirm candidates with reference-semantics scores; emit edges.
-    * [[prefilter]] rejects the no-possible-rule mass on a slim join
-    * first; the edge set is provably identical (spec-asserted). */
+    * Pipeline mode uses the staged shape ([[scoresStaged]]): the slim
+    * coincidence-reject runs inside the first scoring join, and only
+    * the survivors see the caption payload. The edge set is provably
+    * identical to the monolithic shape (spec-asserted). */
   def confirm(cands: DataFrame, sk: DataFrame, cfg: DedupConfig): DataFrame =
-    scores(prefilter(cands, sk, cfg), sk, cfg).where(edgeRule(cfg))
+    scores(cands, sk, cfg).where(edgeRule(cfg))
       .select(col("a"), col("b"), col("img_sim"), col("cap_sim"),
         col("ph_ham"), col("sh_ham"))
 
