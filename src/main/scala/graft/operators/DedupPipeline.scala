@@ -145,8 +145,15 @@ object DedupPipeline {
     sk.withColumn("rep", min(col("image_id")).over(w))
   }
 
-  /** Candidate pairs from all four LSH sources, over representatives only. */
-  def candidates(skReps: DataFrame, cfg: DedupConfig): DataFrame = {
+  /** Candidate pairs from all five LSH sources, over representatives only. */
+  def candidates(skReps: DataFrame, cfg: DedupConfig): DataFrame =
+    Lsh.candidatePairsCapped(bandedAll(skReps, cfg))
+
+  /** The exploded (id, bandKey, cap) band table feeding the shared bucket
+    * shuffle — all five candidate sources union'd. Split out of
+    * [[candidates]] so the band-stage probes can time band computation
+    * and bucket gating separately. */
+  def bandedAll(skReps: DataFrame, cfg: DedupConfig): DataFrame = {
     val cap = Lsh.explodeBands(
       skReps.select(col("vid").as("id"),
         minhashBands(col("cap_mins"), cfg.capBands, cfg.capRowsPerBand, cfg.capSketch.seed).as("bk")),
@@ -188,9 +195,8 @@ object DedupPipeline {
     // the tighter one (see fpJointMaxBucket — redundant combo tables
     // carry their recall, and a joint bucket past the cap is coincidence
     // mass whose ham-0 fraction the exact-phash source recovers).
-    Lsh.candidatePairsCapped(
-      cap.union(img).union(phx).withColumn("cap", lit(cfg.maxBucket))
-        .union(ph.union(sh).withColumn("cap", lit(cfg.fpJointMaxBucket))))
+    cap.union(img).union(phx).withColumn("cap", lit(cfg.maxBucket))
+      .union(ph.union(sh).withColumn("cap", lit(cfg.fpJointMaxBucket)))
   }
 
   /**
