@@ -619,6 +619,67 @@ object Queries {
           size(col("ma")).cast("long").as("na"),
           size(col("mb")).cast("long").as("nb"),
           round(GraftFunctions.jaccard(col("ma"), col("mb"), scaledCfg), 6).as("jac_scaled"))
+    },
+    // canonical-representative selection — the pipeline step AFTER
+    // clustering in a dedup tier: keep exactly ONE doc per near-dup
+    // cluster (most tokens, then lowest doc_id — deterministic) and
+    // report the cluster with its member count. Cost shape at scale:
+    // the d06 label table + one hash-partitioned window over the
+    // cluster key; no all-pairs, no extra shuffle beyond the label join.
+    "d11_canonical_keep" -> { (s, d) =>
+      val sk = docSketches(s, d)
+      val edges = docCandidates(s, d)
+        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
+        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
+        .where(GraftFunctions.jaccard(col("mins_a"), col("mins_b"), docSketch) >= 0.5)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val docs = t(s, d, "documents")
+      val labeled = ConnectedComponents
+        .labelAll(docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val scored = docs.select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      val byCluster = Window.partitionBy(col("cluster"))
+      val pick = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      labeled.join(scored, "doc_id")
+        .withColumn("n_members", count(lit(1)).over(byCluster))
+        .withColumn("rk", row_number().over(pick))
+        .where(col("rk") === 1)
+        .select(col("cluster"), col("doc_id").as("keep_id"),
+          col("n_members"), col("n_tokens").as("keep_tokens"))
+    },
+    // incremental (delta-vs-corpus) dedup — the daily-ingest pattern at
+    // 100 TB: the corpus' exploded band table is a PERSISTED index (here
+    // the shared doc_banded dump stands in for it); a new batch probes it
+    // with a plain hash join on bandKey, so the corpus is never
+    // re-sketched or re-shuffled — cost is O(delta + touched buckets).
+    // doc_id % 5 == 0 stands in for the delta. Oversize index buckets are
+    // dropped by the same heat cap as d03 (64). Decision per new doc: its
+    // best existing near-dup (max confirmed Jaccard, tie lowest corpus
+    // id) at >= 0.5. Within-delta duplicates are the batch self-dedup's
+    // job (d03/d04 over the delta), not this probe's.
+    "d12_incremental_dedup" -> { (s, d) =>
+      val sk = docSketches(s, d)
+      val bands = docBanded(s, d)
+      val newB = bands.where(col("id") % 5 === 0)
+        .select(col("id").as("new_id"), col("bandKey"))
+      val oldB = bands.where(col("id") % 5 =!= 0)
+        .select(col("id").as("old_id"), col("bandKey"))
+      val keep = oldB.groupBy("bandKey")
+        .agg(count(lit(1)).as("n")).where(col("n") <= 64).select("bandKey")
+      val cands = newB.join(keep, "bandKey").join(oldB, "bandKey")
+        .select(col("new_id"), col("old_id")).distinct()
+      val scored = cands
+        .join(sk.select(col("doc_id").as("new_id"), col("mins").as("mins_n")), "new_id")
+        .join(sk.select(col("doc_id").as("old_id"), col("mins").as("mins_o")), "old_id")
+        .withColumn("jac_est",
+          round(GraftFunctions.jaccard(col("mins_n"), col("mins_o"), docSketch), 6))
+        .where(col("jac_est") >= 0.5)
+      val pick = Window.partitionBy(col("new_id"))
+        .orderBy(col("jac_est").desc, col("old_id"))
+      scored.withColumn("rk", row_number().over(pick)).where(col("rk") === 1)
+        .select(col("new_id"), col("old_id").as("dup_of"), col("jac_est"))
     })
 
   private val docDedupOracles: Map[String, String] = Map(
@@ -685,7 +746,47 @@ object Queries {
          |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
          |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u)
          |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
-         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)
+         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    // the d06 closure extended with the keep rule: per-cluster argmax by
+    // token count (tie: lowest doc_id), member counts from a window
+    "d11_canonical_keep" ->
+      s"""WITH RECURSIVE $candSql,
+         |$jacSql,
+         |edges AS (SELECT a, b FROM jac WHERE jac_est >= 0.5),
+         |und AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         |    len(list_filter(string_split(d.text, ' '), x -> x != ''))::BIGINT AS n_tokens
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |ranked AS (
+         |  SELECT cluster, doc_id, n_tokens,
+         |    count(*) OVER (PARTITION BY cluster) AS n_members,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY n_tokens DESC, doc_id) AS rk
+         |  FROM lab)
+         |SELECT cluster, doc_id AS keep_id, n_members, n_tokens AS keep_tokens
+         |FROM ranked WHERE rk = 1""".stripMargin,
+    // delta-vs-index probe replica: the band dump split by the same
+    // delta rule, index-side bucket cap, pair gen, combined-denominator
+    // Jaccard confirm (shared jacSql), per-new-doc argmax
+    "d12_incremental_dedup" ->
+      s"""WITH bnd AS (SELECT id, bandKey FROM read_parquet(${oraclePath("doc_banded")})),
+         |newb AS (SELECT id, bandKey FROM bnd WHERE id % 5 = 0),
+         |oldb AS (SELECT id, bandKey FROM bnd WHERE id % 5 <> 0),
+         |keep AS (SELECT bandKey FROM oldb GROUP BY bandKey HAVING count(*) <= 64),
+         |cand AS (
+         |  SELECT DISTINCT n.id AS a, o.id AS b
+         |  FROM newb n JOIN keep USING (bandKey) JOIN oldb o USING (bandKey)),
+         |$jacSql,
+         |best AS (
+         |  SELECT a, b, jac_est,
+         |    row_number() OVER (PARTITION BY a ORDER BY jac_est DESC, b) AS rk2
+         |  FROM jac WHERE jac_est >= 0.5)
+         |SELECT a AS new_id, b AS dup_of, jac_est FROM best WHERE rk2 = 1""".stripMargin)
 
   // ================================================================ t04: winnowing fingerprints
   //
@@ -852,6 +953,22 @@ object Queries {
         Similarity.ivfAssign(emb, "vec_id", "embedding", codebook,
           nProbe = math.min(8, nCells)))
       Similarity.ivfSearch(emb, "vec_id", "embedding", assign, k = 5)
+    },
+    // embedding-cosine near-DUP CLUSTERING — the dedup form of e02/e03
+    // (pairs are evidence; dedup needs a partition of the table). Edges
+    // come from the SCALE path (hyperplane LSH + exact confirm, the same
+    // operator e03 gates at recall 1.0 against the brute-force oracle);
+    // the cluster tail is the shared large-star/small-star CC. At 100 TB
+    // this is the shape that runs: no all-pairs anywhere, one bucket
+    // shuffle for candidates, min-label components.
+    "e05_embedding_dedup" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val edges = Similarity.lshPairs(emb, "vec_id", "embedding",
+          minCos = 0.45, dim = 64, nRows = tableRows(s, d, "embeddings"))
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = emb.select(col("vec_id").as("id"))
+      ConnectedComponents.labelAll(nodes, edges)
+        .select(col("id").as("vec_id"), col("component").as("cluster"))
     })
 
   private val embeddingOracles: Map[String, String] = Map(
@@ -915,7 +1032,26 @@ object Queries {
         |  SELECT vec_id, neighbor, cos,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rk
         |  FROM cand)
-        |SELECT vec_id, neighbor, cos, rk FROM rr WHERE rk <= 5""".stripMargin)
+        |SELECT vec_id, neighbor, cos, rk FROM rr WHERE rk <= 5""".stripMargin,
+    // independent clustering replica: exact brute-force edge set (the
+    // same gate e03 passes at recall 1.0) closed transitively, min-id
+    // component labels, absent vectors as singletons — the d06 pattern
+    // over the embedding modality
+    "e05_embedding_dedup" ->
+      """WITH RECURSIVE ve AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |edges AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM ve a JOIN ve b ON a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.e, b.e) /
+        |    sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) >= 0.45),
+        |und AS (SELECT a AS u, b AS w FROM edges UNION SELECT b, a FROM edges),
+        |reach(u, w) AS (
+        |  SELECT u, w FROM und
+        |  UNION
+        |  SELECT r.u, e.w FROM reach r JOIN und e ON r.w = e.u),
+        |comp AS (SELECT u AS vec_id, least(u, min(w)) AS cluster FROM reach GROUP BY u)
+        |SELECT em.vec_id, coalesce(c.cluster, em.vec_id) AS cluster
+        |FROM embeddings em LEFT JOIN comp c USING (vec_id)""".stripMargin)
 
   // ================================================================ m: multimodal corpus
 

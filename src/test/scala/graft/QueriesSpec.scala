@@ -40,6 +40,81 @@ class QueriesSpec extends AnyFunSuite {
     info(s"e03 recall vs brute force: ${lsh.size}/${brute.size}")
   }
 
+  test("d11 keeps exactly one representative per d06 cluster, the token-argmax") {
+    val toks: String => Long =
+      s => s.split(" ").count(_.nonEmpty).toLong
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    val clusters = SparkEntry.queries("d06_doc_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = SparkEntry.queries("d11_canonical_keep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val members = clusters.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+    assert(kept.length == members.size, "one keeper per cluster")
+    // members accounted exactly once across keepers' clusters
+    assert(kept.map(_._3).sum == docs.size)
+    kept.foreach { case (c, keepId, nMembers, keepTokens) =>
+      val m = members(c)
+      assert(m.contains(keepId), s"keeper $keepId not in cluster $c")
+      assert(nMembers == m.size)
+      assert(keepTokens == docs(keepId))
+      // argmax rule: no member strictly longer; ties resolve to lowest id
+      assert(m.forall(id => docs(id) < keepTokens ||
+        (docs(id) == keepTokens && id >= keepId)),
+        s"cluster $c keeper $keepId is not the (tokens desc, id asc) argmax")
+    }
+  }
+
+  test("d12 probes the delta against the corpus index and finds every mixed d04 pair") {
+    val rows = SparkEntry.queries("d12_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (newId, dupOf, jac) =>
+      assert(newId % 5 == 0, s"$newId is not a delta doc")
+      assert(dupOf % 5 != 0, s"dup_of $dupOf is not a corpus doc")
+      assert(jac >= 0.5)
+    }
+    assert(rows.map(_._1).distinct.length == rows.length, "one decision per new doc")
+    // completeness vs the batch self-dedup: every d04-confirmed pair with
+    // exactly one delta endpoint must surface that delta doc here (d04's
+    // total-bucket cap <= 64 implies d12's old-side cap <= 64)
+    val mixed = SparkEntry.queries("d04_minhash_jaccard_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (a % 5 == 0, b % 5 == 0) match {
+          case (true, false) => Some(a)
+          case (false, true) => Some(b)
+          case _ => None
+        }
+      }.toSet
+    val reported = rows.map(_._1).toSet
+    assert(mixed.subsetOf(reported),
+      s"delta docs with a confirmed corpus dup missing from d12: ${mixed -- reported}")
+    info(s"d12 decisions: ${rows.length}; mixed d04 pairs covered: ${mixed.size}")
+  }
+
+  test("e05 clusters every brute-force near-dup pair together; labels are min-ids") {
+    val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val label = SparkEntry.queries("e05_embedding_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(label.size == n, "one label per vector (singletons included)")
+    // confirmed near-dup pairs land in the same component. The edge set is
+    // the LSH scale path, spec-gated at >=90% recall at this sf (the sf0.01
+    // oracle additionally requires the exact edge set, where this becomes
+    // every-pair); transitive closure can only merge, never split.
+    val together = brute.count { case (a, b) => label(a) == label(b) }
+    assert(together >= math.ceil(brute.length * 0.9),
+      s"co-clustered pairs $together/${brute.length} below 0.9")
+    info(s"e05 co-clustered brute pairs: $together/${brute.length}")
+    // labels are canonical min-ids: a component's label is one of its members
+    label.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keySet.contains(c), s"cluster label $c not a member id")
+      assert(c == members.keySet.min, s"cluster label $c is not the min id")
+    }
+  }
+
   test("e04 IVF recovers >=90% of true near-dup pairs at a bounded scan fraction") {
     val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
