@@ -680,6 +680,54 @@ object Queries {
         .orderBy(col("jac_est").desc, col("old_id"))
       scored.withColumn("rk", row_number().over(pick)).where(col("rk") === 1)
         .select(col("new_id"), col("old_id").as("dup_of"), col("jac_est"))
+    },
+    // repeated-span flagging — the MassiveText/C4 "remove spans that
+    // recur across the corpus" rule at 8-token-gram granularity (exact
+    // sentence repetition never happens in web text after trafilatura;
+    // shared n-gram spans between near-dup pages do): per doc, how many
+    // of its token 8-grams appear in ≥ 2 distinct documents. Scale
+    // shape: the gram STRING dies in the same stage that makes it
+    // (xxhash64 right after the explode) — every shuffle carries (long,
+    // long); the doc-frequency side is a two-stage distinct agg. An
+    // 8-byte key merges distinct grams at ~n²/2⁶⁴, one-sided toward
+    // over-flagging — the dedup-pipeline-safe direction.
+    "d13_repeated_ngram_spans" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val ts = toks(col("text"))
+      val grams = when(size(ts) >= 8,
+        transform(sequence(lit(0), size(ts) - 8),
+          i => array_join(slice(ts, i + 1, lit(8)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val g = docs.select(col("doc_id"), explode(grams).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      val freq = g.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
+      val perDoc = g.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+    },
+    // containment-based subset-dup detection — sourmash's asymmetric
+    // containment semantic (count_common / |A|, /root/reference/src/
+    // index.rs:146-160) applied to the dedup tier: a doc QUOTED inside a
+    // longer doc scores low Jaccard but high containment, so the Jaccard
+    // confirms (d04) miss it by design. Same LSH candidate set, same
+    // codegen'd kernel family; both directions reported.
+    "d14_containment_dedup" -> { (s, d) =>
+      val sk = docSketches(s, d)
+      docCandidates(s, d)
+        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
+        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
+        .withColumn("cont_ab",
+          round(GraftFunctions.containment(col("mins_a"), col("mins_b")), 6))
+        .withColumn("cont_ba",
+          round(GraftFunctions.containment(col("mins_b"), col("mins_a")), 6))
+        .where(greatest(col("cont_ab"), col("cont_ba")) >= 0.8)
+        .select(col("a"), col("b"), col("cont_ab"), col("cont_ba"))
     })
 
   private val docDedupOracles: Map[String, String] = Map(
@@ -786,7 +834,44 @@ object Queries {
          |  SELECT a, b, jac_est,
          |    row_number() OVER (PARTITION BY a ORDER BY jac_est DESC, b) AS rk2
          |  FROM jac WHERE jac_est >= 0.5)
-         |SELECT a AS new_id, b AS dup_of, jac_est FROM best WHERE rk2 = 1""".stripMargin)
+         |SELECT a AS new_id, b AS dup_of, jac_est FROM best WHERE rk2 = 1""".stripMargin,
+    // the repeated-span rule replicated on the gram STRINGS (the Spark
+    // side keys on xxhash64 — identical counts absent 64-bit collisions,
+    // which the oracle would catch as a hash mismatch)
+    "d13_repeated_ngram_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 7, 0))) AS i
+        |  FROM tok),
+        |g AS (SELECT doc_id, list_aggregate(ts[i:i+7], 'string_agg', ' ') AS gram FROM idx),
+        |fr AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |    sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        |  FROM g JOIN fr USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(a.n_dup, 0)::BIGINT AS n_dup
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // asymmetric containment replica over the candidate dump: plain
+    // value-set intersection over each side's own sketch length
+    // (count_common / |A| — index.rs:146-160; no combined-denominator
+    // re-truncation here, unlike jacSql)
+    "d14_containment_dedup" ->
+      s"""WITH $candSql,
+         |sk AS (SELECT doc_id, mins FROM read_parquet(${oraclePath("doc_sketches")})),
+         |co AS (
+         |  SELECT c.a, c.b,
+         |    CASE WHEN len(sa.mins) = 0 THEN 0.0 ELSE
+         |      round(len(list_intersect(sa.mins, sb.mins)) * 1.0 / len(sa.mins), 6)
+         |    END AS cont_ab,
+         |    CASE WHEN len(sb.mins) = 0 THEN 0.0 ELSE
+         |      round(len(list_intersect(sa.mins, sb.mins)) * 1.0 / len(sb.mins), 6)
+         |    END AS cont_ba
+         |  FROM cand c JOIN sk sa ON sa.doc_id = c.a JOIN sk sb ON sb.doc_id = c.b)
+         |SELECT a, b, cont_ab, cont_ba FROM co
+         |WHERE greatest(cont_ab, cont_ba) >= 0.8""".stripMargin)
 
   // ================================================================ t04: winnowing fingerprints
   //

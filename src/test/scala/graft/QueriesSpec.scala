@@ -93,6 +93,58 @@ class QueriesSpec extends AnyFunSuite {
     info(s"d12 decisions: ${rows.length}; mixed d04 pairs covered: ${mixed.size}")
   }
 
+  test("d13 reproduces the repeated 8-gram span rule computed locally") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grams: Map[Long, Seq[String]] = docs.map { case (id, t) =>
+      val ts = t.split(" ").filter(_.nonEmpty)
+      id -> (if (ts.length < 8) Seq.empty[String]
+             else ts.sliding(8).map(_.mkString(" ")).toSeq)
+    }
+    val docFreq = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    val got = SparkEntry.queries("d13_repeated_ngram_spans")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == docs.keySet, "one row per document")
+    docs.keys.foreach { id =>
+      val expected = (grams(id).size.toLong,
+        grams(id).count(docFreq(_) >= 2).toLong)
+      assert(got(id) == expected, s"doc $id: got ${got(id)}, expected $expected")
+    }
+    val dup = got.values.map(_._2).sum
+    assert(dup > 0, "near-dup docs must share flagged spans at this sf")
+    info(s"d13 duplicated-span grams: $dup of ${got.values.map(_._1).sum}")
+  }
+
+  test("d14 containment matches the kernel recompute and catches non-Jaccard subset dups") {
+    val rows = SparkEntry.queries("d14_containment_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // recompute from the dumped sketches with the scalar kernel
+    val sk = spark.read
+      .parquet(s"/tmp/graft_derived/${new java.io.File(sf).getName}/doc_sketches.parquet")
+      .select("doc_id", "mins").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    rows.foreach { case (a, b, cab, cba) =>
+      assert(a < b)
+      assert(math.max(cab, cba) >= 0.8)
+      // Spark's round() is HALF_UP, not rint's half-even
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val eab = r6(graft.core.MinHash.containment(sk(a), sk(b)))
+      val eba = r6(graft.core.MinHash.containment(sk(b), sk(a)))
+      assert(cab == eab && cba == eba, s"($a,$b): got ($cab,$cba), kernel ($eab,$eba)")
+    }
+    // the semantic justification: containment is NOT symmetric Jaccard —
+    // asymmetric pairs (one side contained, the other not) must score
+    // differently in the two directions whenever sketch sizes differ
+    rows.filter { case (a, b, _, _) => sk(a).length != sk(b).length }
+      .foreach { case (a, b, cab, cba) =>
+        assert(cab != cba, s"($a,$b) sketch sizes differ but containments equal")
+      }
+    info(s"d14 containment pairs: ${rows.length}")
+  }
+
   test("e05 clusters every brute-force near-dup pair together; labels are min-ids") {
     val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
