@@ -127,6 +127,11 @@ object Queries {
           .withColumn("user_id", lit(-1L))
           .withColumn("ts", tsLit(maxTs.getTime + hrs * 3600L * 1000))
           .select(schema.fieldNames.map(col): _*), s"st04_s$hrs.parquet")
+      // st05 delta-document micro-batches (the incremental-dedup probe's
+      // arriving "new" docs, split in two to exercise batch composition)
+      val delta = t(s, d, "documents").where(col("doc_id") % 5 === 0)
+      stage(delta.where(col("doc_id") % 10 === 0), "st05_b1.parquet")
+      stage(delta.where(col("doc_id") % 10 =!= 0), "st05_b2.parquet")
     })
     dir
   }
@@ -1438,6 +1443,70 @@ object Queries {
       q.stop()
       }
       s.read.parquet(outDir).where(col("user_id") =!= sentinelUid)
+    },
+    // STREAMING incremental dedup — d12's continuous-ingest twin and the
+    // shape a 100 TB tier actually runs for daily/hourly document
+    // arrivals: a `foreachBatch` stream-static probe of each micro-batch
+    // of NEW documents against the persisted corpus band index (sketch →
+    // band → hash-join on bandKey → Jaccard confirm → per-doc argmax),
+    // appending decisions to the sink. The corpus is never re-sketched or
+    // re-shuffled; per batch the cost is O(batch + touched buckets).
+    // Stateless by design — each new doc's decision depends only on the
+    // static index, so no watermark or state store is involved and
+    // exactly-once comes from foreachBatch's batchId-idempotent append.
+    // Two micro-batches prove the probe is batch-composable; the result
+    // equals d12's one-shot batch answer (the shared oracle SQL).
+    "st05_stream_incr_dedup" -> { (s, d) =>
+      import java.nio.file.Files
+      val docs = t(s, d, "documents")
+      // static side: the persisted corpus index, heat-capped like d03/d12
+      val corpusBands = docBanded(s, d).where(col("id") % 5 =!= 0)
+        .select(col("id").as("old_id"), col("bandKey"))
+      val keepB = corpusBands.groupBy("bandKey")
+        .agg(count(lit(1)).as("n")).where(col("n") <= 64).select("bandKey")
+      val corpusKept = corpusBands.join(keepB, "bandKey")
+      val corpusSk = docSketches(s, d).where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("old_id"), col("mins").as("mins_o"))
+      val staged = stagedStreamBatches(s, d)
+      val inDir = Files.createTempDirectory("st05_in")
+      val outDir = Files.createTempDirectory("st05_out").toString
+      val ckpt = Files.createTempDirectory("st05_ckpt").toString
+      copyBatch(staged.resolve("st05_b1.parquet"), inDir, "b1.parquet", 0L)
+      copyBatch(staged.resolve("st05_b2.parquet"), inDir, "b2.parquet", 60000L)
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // same kernel, bands, tag as the persisted index build
+            val sk = batch.select(col("doc_id").as("new_id"),
+              GraftFunctions.captionMinhash(col("text"), docSketch).as("mins_n"))
+            val banded = Lsh.explodeBands(
+              sk.select(col("new_id").as("id"),
+                GraftFunctions.minhashBands(col("mins_n"), bands = 16,
+                  rowsPerBand = 8).as("bk")),
+              "id", "bk", sourceTag = 11)
+              .select(col("id").as("new_id"), col("bandKey"))
+            val cands = banded.join(corpusKept, "bandKey")
+              .select("new_id", "old_id").distinct()
+            val pick = Window.partitionBy(col("new_id"))
+              .orderBy(col("jac_est").desc, col("old_id"))
+            cands.join(sk, "new_id").join(corpusSk, "old_id")
+              .withColumn("jac_est", round(
+                GraftFunctions.jaccard(col("mins_n"), col("mins_o"), docSketch), 6))
+              .where(col("jac_est") >= 0.5)
+              .withColumn("rk", row_number().over(pick)).where(col("rk") === 1)
+              .select(col("new_id"), col("old_id").as("dup_of"), col("jac_est"))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.read.parquet(outDir)
     })
 
   /** Session gap (micros): a quiet period longer than this closes the
@@ -1536,6 +1605,9 @@ object Queries {
   }
 
   private val streamingOracles: Map[String, String] = Map(
+    // the streaming probe's decisions must equal d12's one-shot batch
+    // answer — same index, same kernel, same rule, shared oracle SQL
+    "st05_stream_incr_dedup" -> docDedupOracles("d12_incremental_dedup"),
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,

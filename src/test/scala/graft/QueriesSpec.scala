@@ -145,6 +145,17 @@ class QueriesSpec extends AnyFunSuite {
     info(s"d14 containment pairs: ${rows.length}")
   }
 
+  test("st05 streaming incremental dedup equals d12's one-shot batch answer") {
+    def decisions(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = decisions("st05_stream_incr_dedup")
+    val batch = decisions("d12_incremental_dedup")
+    assert(stream == batch,
+      s"stream-only: ${stream -- batch}; batch-only: ${batch -- stream}")
+    info(s"st05 == d12: ${stream.size} decisions across 2 micro-batches")
+  }
+
   test("e05 clusters every brute-force near-dup pair together; labels are min-ids") {
     val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
