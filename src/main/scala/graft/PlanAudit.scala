@@ -22,7 +22,8 @@ object PlanAudit {
     Seq("q01_filter_project", "q02_agg_group", "q03_join_agg",
       "d02_ngram_jaccard", "d03_minhash_lsh_pairs", "d04_minhash_jaccard_dedup",
       "e02_embedding_pairs", "e03_embedding_lsh_pairs", "e04_ivf_topk",
-      "d08_sql_jaccard", "q10_bucketed_join").foreach(dump)
+      "d08_sql_jaccard", "q10_bucketed_join",
+      "d13_repeated_ngram_spans", "d14_containment_dedup").foreach(dump)
     spark.stop()
   }
 }
