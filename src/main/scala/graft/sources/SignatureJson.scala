@@ -88,25 +88,44 @@ object SignatureJson {
    * (`/root/reference/src/sourmash.yml:22-27`): `path` is a directory
    * root and every `*.sig` underneath it, at any depth, is loaded.
    */
+  /** [[readAny]] over an explicit file list (index tooling addresses
+    * leaves by storage file name — no glob, no directory scan). */
+  def readAnyFiles(spark: SparkSession, paths: Seq[String],
+      keepPath: Boolean = false): DataFrame =
+    readAnyFrom(spark.read.format("binaryFile").load(paths: _*), keepPath)
+
   def readAny(spark: SparkSession, path: String,
-      traverseDirectory: Boolean = false): DataFrame = {
-    val decomp = udf((b: Array[Byte]) => sniffDecompress(b))
-    // FAILFAST: default-mode from_json turns a corrupt file into NULL,
-    // and explode(NULL) then SILENTLY drops every sketch in it — a
-    // corpus search would just miss signatures. A decompressable file
-    // with unparseable JSON must be an error, like the reference loader.
+      traverseDirectory: Boolean = false,
+      keepPath: Boolean = false): DataFrame = {
     val reader = spark.read.format("binaryFile")
     val source =
       if (traverseDirectory)
         reader.option("recursiveFileLookup", "true")
           .option("pathGlobFilter", "*.sig").load(path)
       else reader.load(path)
+    readAnyFrom(source, keepPath)
+  }
+
+  /** Shared tail of the binaryFile variants. `keepPath` carries the
+    * STORAGE FILE identity through (`src_path`): SBT descriptions
+    * address their leaves by storage file name (`tests/data/v5.sbt.json`
+    * "leaves" → md5-hex files), not by the signature's embedded
+    * `filename` field, so index tooling (ScaffoldCli) needs the path
+    * column alongside the sketch rows. */
+  private def readAnyFrom(source: DataFrame, keepPath: Boolean): DataFrame = {
+    val decomp = udf((b: Array[Byte]) => sniffDecompress(b))
+    // FAILFAST: default-mode from_json turns a corrupt file into NULL,
+    // and explode(NULL) then SILENTLY drops every sketch in it — a
+    // corpus search would just miss signatures. A decompressable file
+    // with unparseable JSON must be an error, like the reference loader.
     val raw = source
-      .select(from_json(decomp(col("content")), ArrayType(sigSchema),
-        Map("mode" -> "FAILFAST")).as("sigs"))
-      .select(explode(col("sigs")).as("sig"))
-      .select(col("sig.*"))
-    flatten(raw)
+      .select(col("path").as("src_path"),
+        from_json(decomp(col("content")), ArrayType(sigSchema),
+          Map("mode" -> "FAILFAST")).as("sigs"))
+      .select(col("src_path"), explode(col("sigs")).as("sig"))
+      .select(col("src_path"), col("sig.*"))
+    val flat = flatten(raw, extra = Seq("src_path"))
+    if (keepPath) flat else flat.drop("src_path")
   }
 
   /** S1+S2 flatten: one row per sketch with signature metadata. */
@@ -115,15 +134,15 @@ object SignatureJson {
     flatten(raw)
   }
 
-  private def flatten(raw: DataFrame): DataFrame = {
-    raw.select(
+  private def flatten(raw: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    raw.select(extra.map(col) ++ Seq(
         coalesce(col("class"), lit("sourmash_signature")).as("class"),
         coalesce(col("email"), lit("")).as("email"),
         col("hash_function"), col("filename"), col("name"),
         coalesce(col("license"), lit("CC0")).as("license"),
         coalesce(col("version"), lit(0.4)).as("version"),
-        posexplode(col("signatures")).as(Seq("sketch_idx", "mh")))
-      .select(
+        posexplode(col("signatures")).as(Seq("sketch_idx", "mh"))): _*)
+      .select(extra.map(col) ++ Seq(
         col("class"), col("email"), col("hash_function"), col("filename"),
         col("name"), col("license"), col("version"), col("sketch_idx"),
         // reference rule: scaled mode wins over bottom-k (lib.rs:123)
@@ -135,7 +154,7 @@ object SignatureJson {
         col("mh.md5sum").as("md5sum"),
         decArrToU64(col("mh.mins")).as("mins"),
         decArrToU64(col("mh.abundances")).as("abundances"),
-        (lower(col("mh.molecule")) === "protein").as("is_protein"))
+        (lower(col("mh.molecule")) === "protein").as("is_protein")): _*)
   }
 
   /** S2 predicate: ksize==0 is a wildcard; moltype None keeps all. */
