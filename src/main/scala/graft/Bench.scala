@@ -211,9 +211,11 @@ object Bench {
       val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""loadavg_surface":$loadSurface%.2f,"sf":"$sfDir","flagship":$flag}"""
       // backup channel for the driver: bare file, no log decoration
-      // possible. Local flagship-only iteration never overwrites it —
-      // the committed record always carries the full query surface.
-      if (!sys.env.contains("SPARK_GRAFT_FLAGSHIP_ONLY")) try {
+      // possible. Local iteration (flagship-only OR a restricted query
+      // surface via SPARK_GRAFT_ONLY) never overwrites it — the committed
+      // record always carries the full query surface.
+      if (!sys.env.contains("SPARK_GRAFT_FLAGSHIP_ONLY") &&
+          !sys.env.contains("SPARK_GRAFT_ONLY")) try {
         val out = java.nio.file.Paths.get("BENCH/last_bench.json")
         java.nio.file.Files.createDirectories(out.getParent)
         java.nio.file.Files.writeString(out, line + "\n")

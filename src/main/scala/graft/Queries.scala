@@ -1478,7 +1478,7 @@ object Queries {
           .option("maxFilesPerTrigger", "1")
           .parquet(inDir.toString)
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             // same kernel, bands, tag as the persisted index build
             val sk = batch.select(col("doc_id").as("new_id"),
               GraftFunctions.captionMinhash(col("text"), docSketch).as("mins_n"))
@@ -1498,7 +1498,11 @@ object Queries {
               .where(col("jac_est") >= 0.5)
               .withColumn("rk", row_number().over(pick)).where(col("rk") === 1)
               .select(col("new_id"), col("old_id").as("dup_of"), col("jac_est"))
-              .write.mode("append").parquet(outDir)
+              // batchId-keyed overwrite = the idempotent append: a
+              // micro-batch replayed from the checkpoint after a partial
+              // commit rewrites ITS OWN directory instead of appending
+              // duplicate decision rows
+              .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
             ()
           }
           .option("checkpointLocation", ckpt)
@@ -1506,7 +1510,9 @@ object Queries {
         q.processAllAvailable()
         q.stop()
       }
-      s.read.parquet(outDir)
+      // partition discovery surfaces batch_id; it is sink bookkeeping,
+      // not part of the decision schema
+      s.read.parquet(outDir).select("new_id", "dup_of", "jac_est")
     })
 
   /** Session gap (micros): a quiet period longer than this closes the

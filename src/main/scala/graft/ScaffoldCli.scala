@@ -281,7 +281,7 @@ object ScaffoldCli {
     sb.append("\n },\n \"leaves\": {")
     sb.append(leafPos.map { case (pos, f) =>
       val (_, _, name, meta) = byFile(f)
-      s"""\n  "$pos": {\n   "filename": "$f",\n   "name": "$name",\n   "metadata": "$meta"\n  }"""
+      s"""\n  "$pos": {\n   "filename": "${jsonEscape(f)}",\n   "name": "${jsonEscape(name)}",\n   "metadata": "${jsonEscape(meta)}"\n  }"""
     }.mkString(","))
     sb.append("\n }\n}\n")
     val descPath = outDir.resolve("scaffold.sbt.json")
@@ -290,6 +290,23 @@ object ScaffoldCli {
     if (!cfg.quiet)
       println(s"scaffolded ${leafPos.size} leaves / ${nodePos.size} internal nodes -> $descPath")
     Summary(leafPos.size, nodePos.size, descPath.toString)
+  }
+
+  /** Minimal JSON string escape for interpolated leaf names/metadata —
+    * a quote or backslash in a signature name must not corrupt the
+    * description document (readDesc parses it back with Jackson). */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
   /** `min_n_below` metadata (`sbt.rs:201,247`): the smallest leaf sketch
@@ -321,8 +338,14 @@ object ScaffoldCli {
     var c = if (x % 2 == 0) x - 1 else x - 2
     var k = 0
     while (k < n) {
-      while (!isPrime(c)) c -= 2
-      out += c; c -= 2; k += 1
+      // odd-candidate walk: 2 is reachable only via the explicit check,
+      // and running out of candidates must be an error, not a hang
+      // (tablesize <= 3 or n larger than the primes available below x)
+      while (c >= 3 && !isPrime(c)) c -= 2
+      if (c < 3) {
+        if (c >= 1 && x > 2) { out += 2L; k += 1; c = 0 } // 2 is the last prime below x
+        require(k >= n, s"fewer than $n primes below $x (khmer tablesize too small)")
+      } else { out += c; c -= 2; k += 1 }
     }
     out.result()
   }

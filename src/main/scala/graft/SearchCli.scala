@@ -132,8 +132,18 @@ object SearchCli {
       queryMins = ds._1
       queryAbunds = ds._2
       sketchCfg = sketchCfg.copy(num = 0, maxHash = mh)
-      db = db.withColumn("mins",
-        graft.functions.GraftFunctions.downsampleMins(col("mins"), mh))
+      // cut abundances in PARALLEL with mins: downsample is a prefix cut
+      // (mins sorted ascending unsigned), so the surviving abundances are
+      // exactly the first size(new_mins) entries. Leaving abundances
+      // full-length would crash abundance-mode scoring on the length
+      // mismatch for any sketch the cut shortens.
+      db = db
+        .withColumn("mins_ds",
+          graft.functions.GraftFunctions.downsampleMins(col("mins"), mh))
+        .withColumn("abundances",
+          when(col("abundances").isNotNull,
+            slice(col("abundances"), lit(1), size(col("mins_ds")))))
+        .withColumn("mins", col("mins_ds")).drop("mins_ds")
     }
 
     val mode =
@@ -157,7 +167,10 @@ object SearchCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     try {
-      val (results, report) = search(spark, cfg)
+      val (results0, report) = search(spark, cfg)
+      // one scan of the database corpus, not four: report.collect,
+      // results.count, writeCsv and saveMatches all read this plan
+      val results = results0.persist()
       val rows = report.collect()
       val total = results.count()
       // the reference's stdout shape (main.rs:224-243)
@@ -181,6 +194,7 @@ object SearchCli {
         SignatureSearch.saveMatches(results, dir)
         if (!cfg.quiet) println(s"saving all matched signatures to \"$dir\"")
       }
+      results.unpersist(false)
     } finally if (existing.isEmpty) spark.stop()
   }
 }

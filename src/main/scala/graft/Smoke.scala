@@ -178,6 +178,11 @@ object Smoke {
           cfg, cache = cache)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      // listener events post asynchronously — drain before reading the
+      // counters (same as Bench.flagship) or trailing task/job events
+      // under-count exactly the loaded runs this probe diagnoses
+      try org.apache.spark.sql.graft.Bridge.drainListeners(s2.sparkContext, 10000)
+      catch { case _: Throwable => () }
       println(f"[cluster-time] rows=$rows cores=$cores " +
         f"prefilter=${cfg.confirmPrefilter} wall=$wall%.1f s " +
         f"gc=${(gcMs - gc0) / 1000.0}%.1f s jobs=${nJobs.get} tasks=${nTasks.get} " +

@@ -415,12 +415,19 @@ object DedupPipeline {
    */
   private def guardStaticBroadcast(s: org.apache.spark.sql.SparkSession): Unit = {
     if (s.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1") {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val adaptiveKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
-      // unset adaptive threshold falls back to the static one (now -1):
-      // give AQE its own budget so runtime broadcasts stay possible
-      if (s.conf.getOption(adaptiveKey).forall(v => v == null || v.isEmpty || v == "-1"))
-        s.conf.set(adaptiveKey, "33554432")
+      // the unset adaptive threshold falls back to the static one, so
+      // read its RESOLVED value BEFORE mutating the static key and pin
+      // that value back explicitly afterwards: the session's effective
+      // AQE broadcast budget is preserved exactly (a consumer who set
+      // adaptive=-1 keeps runtime broadcasts off; a default session
+      // keeps its 10 MB budget; our entrypoints set 32 MB themselves) —
+      // only the garbage-size-estimate STATIC planner is disabled.
+      val resolvedBudget = s.conf.getOption(adaptiveKey)
+        .filter(v => v != null && v.nonEmpty)
+        .getOrElse(s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set(adaptiveKey, resolvedBudget)
     }
   }
 

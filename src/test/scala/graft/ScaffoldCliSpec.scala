@@ -34,6 +34,15 @@ class ScaffoldCliSpec extends AnyFunSuite {
       Seq(99991L, 99989L, 99971L, 99961L))
   }
 
+  test("primesBelow: exhausted candidate range errors instead of hanging") {
+    // tablesize 10 has primes {7,5,3,2} below it — asking for 4 succeeds,
+    // 5 must fail fast; tiny tablesizes must not spin the odd-walk forever
+    assert(ScaffoldCli.primesBelow(10L, 4).toSeq === Seq(7L, 5L, 3L, 2L))
+    assert(ScaffoldCli.primesBelow(3L, 1).toSeq === Seq(2L))
+    intercept[IllegalArgumentException](ScaffoldCli.primesBelow(10L, 5))
+    intercept[IllegalArgumentException](ScaffoldCli.primesBelow(2L, 1))
+  }
+
   test("v5 fixture: scaffold preserves leaves, builds a valid persisted tree") {
     assumeFixtures()
     val out = Files.createTempDirectory("scaffold_out").toString

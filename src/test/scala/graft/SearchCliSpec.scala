@@ -91,6 +91,32 @@ class SearchCliSpec extends AnyFunSuite {
     assert(rows.head.getAs[String]("filename") === "SRR2060939_1.fastq.gz")
   }
 
+  test("--scaled + abundance mode: db abundances are cut in parallel with mins") {
+    // regression: the --scaled path rewrote db `mins` but left
+    // `abundances` full-length, so abundance-mode scoring crashed on the
+    // length mismatch for any sketch the cut actually shortened
+    def sig(name: String, mins: Seq[String], abunds: Seq[String]): String =
+      s"""[{"class":"sourmash_signature","email":"","hash_function":"0.murmur64",""" +
+        s""""filename":"$name.sig","name":"$name","license":"CC0","signatures":[""" +
+        s"""{"num":0,"ksize":21,"seed":42,"max_hash":"9223372036854775808",""" +
+        s""""md5sum":"deadbeef","mins":[${mins.mkString(",")}],""" +
+        s""""abundances":[${abunds.mkString(",")}],"molecule":"DNA"}],"version":0.4}]"""
+    val dir = Files.createTempDirectory("cli_scaled_abund")
+    Files.writeString(dir.resolve("q.sig"),
+      sig("q", Seq("10", "200000"), Seq("3", "7")))
+    // 9e18 > maxHash(scaled=4) = 4611686018427387904 -> the cut shortens
+    // this sketch; pre-fix: IllegalArgumentException in the score UDF
+    Files.writeString(dir.resolve("db.sig"),
+      sig("db", Seq("10", "200000", "9000000000000000000"), Seq("2", "5", "9")))
+    val (results, _) = SearchCli.search(spark, SearchCli.parse(Array(
+      "--threshold", "0.01", "--scaled", "4", "-k", "21",
+      dir.resolve("q.sig").toString, dir.resolve("db.sig").toString)))
+    val rows = results.select("name", "score").collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "db")
+    val score = rows.head.getDouble(1)
+    assert(score > 0.99, s"identical surviving (min, abund) pairs should score ~1, got $score")
+  }
+
   test("indexed abundance search forwards query abundances (== linear, != flat)") {
     // the round-4 ADVICE medium: indexed() silently scored with flat
     // abundances. Pin: indexed == linear with real abunds, and real
