@@ -23,7 +23,8 @@ object PlanAudit {
       "d02_ngram_jaccard", "d03_minhash_lsh_pairs", "d04_minhash_jaccard_dedup",
       "e02_embedding_pairs", "e03_embedding_lsh_pairs", "e04_ivf_topk",
       "d08_sql_jaccard", "q10_bucketed_join",
-      "d13_repeated_ngram_spans", "d14_containment_dedup").foreach(dump)
+      "d13_repeated_ngram_spans", "d14_containment_dedup",
+      "d15_sketch_error_audit", "t06_unigram_logprob").foreach(dump)
     spark.stop()
   }
 }

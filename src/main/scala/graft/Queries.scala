@@ -463,6 +463,25 @@ object Queries {
             .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
             .when(col("s_es") > 0, "es")
             .otherwise("unknown"))
+    },
+    // LM-quality scoring, CCNet-style: per-doc mean unigram log-probability
+    // under the corpus' own unigram model — the standard "train a cheap LM
+    // on the corpus, keep the head of the score distribution" quality
+    // filter. Two aggregations: the vocabulary (a dimension table even at
+    // web scale — AQE broadcasts it into the token join from runtime
+    // stats), then the per-doc mean. The global token total rides on the
+    // vocabulary agg as an unpartitioned window over the tiny vocab frame
+    // — no separate count job, no driver scalar.
+    "t06_unigram_logprob" -> { (s, d) =>
+      val tokens = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .withColumn("lp",
+          log(col("df")) - log(sum(col("df")).over(Window.partitionBy())))
+      tokens.join(vocab.select(col("w"), col("lp")), "w")
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
     })
 
   private val textOracles: Map[String, String] = Map(
@@ -497,7 +516,19 @@ object Queries {
         |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
         |    WHEN s_es > 0 THEN 'es'
         |    ELSE 'unknown' END AS predicted
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+    "t06_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS w
+        |  FROM documents),
+        |vocab AS (SELECT w, count(*) AS df FROM toks GROUP BY 1),
+        |lp AS (
+        |  SELECT w, ln(df) - ln(sum(df) OVER ()) AS lp FROM vocab)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  round(sum(l.lp) / count(*), 6) AS avg_logprob
+        |FROM toks t JOIN lp l USING (w)
+        |GROUP BY 1""".stripMargin)
 
   // ================================================================ d: sketch dedup on documents
   //
@@ -532,8 +563,14 @@ object Queries {
         "id", "bk", sourceTag = 11)
     }
 
+  /** LSH candidate pairs over the banded dump — itself dumped once per
+    * (sfDir, JVM): five queries consume the same pair set (d03/d04/d12/
+    * d14/d15), and the bucket-size window over the exploded band table is
+    * the expensive step; re-running it per consumer was pure repeat work. */
   private def docCandidates(s: SparkSession, d: String): DataFrame =
-    Lsh.candidatePairs(docBanded(s, d), maxBucket = 64)
+    dumpDerived(s, d, "doc_candidates") {
+      Lsh.candidatePairs(docBanded(s, d), maxBucket = 64)
+    }
 
   /** DuckDB replica of [[Lsh.candidatePairsCapped]] over the band dump. */
   private def candSql: String =
@@ -733,6 +770,47 @@ object Queries {
           round(GraftFunctions.containment(col("mins_b"), col("mins_a")), 6))
         .where(greatest(col("cont_ab"), col("cont_ba")) >= 0.8)
         .select(col("a"), col("b"), col("cont_ab"), col("cont_ba"))
+    },
+    // ESTIMATOR CALIBRATION AUDIT: for every LSH candidate pair, the
+    // sketch-estimated Jaccard (128-min combined denominator — the
+    // reference's `compare` semantics the whole dedup tier trusts) next
+    // to the EXACT distinct-4-gram Jaccard over the same normalized
+    // text, plus the absolute error. This is the evaluation harness a
+    // production tier runs on a sample before committing to a sketch
+    // width: the d04/m01 thresholds are only meaningful if the estimator
+    // is calibrated at the operating point. Exact counting is confined
+    // to candidate pairs (grams join against the candidate endpoints —
+    // never all-pairs), so the audit costs O(candidates), not O(n²).
+    "d15_sketch_error_audit" -> { (s, d) =>
+      val sk = docSketches(s, d)
+      val normed = t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("nt"))
+      // distinct char-4-grams of the normalized text — the same shingle
+      // universe captionMinhash sketches (ASCII corpus: byte == char
+      // grams); hashed to longs so the pair joins never carry strings
+      val grams = normed.where(length(col("nt")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, length(nt)-3), i -> substring(nt, i, 4)))")).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val cands = docCandidates(s, d)
+      val common = cands
+        .join(grams.select(col("doc_id").as("a"), col("gh")), "a")
+        .join(grams.select(col("doc_id").as("b"), col("gh")), Seq("b", "gh"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      cands
+        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
+        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
+        .withColumn("jac_est",
+          round(GraftFunctions.jaccard(col("mins_a"), col("mins_b"), docSketch), 6))
+        .join(common, Seq("a", "b"), "left")
+        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .withColumn("jac_exact", round(
+          coalesce(col("c"), lit(0L)) * lit(1.0) /
+            (col("na") + col("nb") - coalesce(col("c"), lit(0L))), 6))
+        .withColumn("abs_err", round(abs(col("jac_est") - col("jac_exact")), 6))
+        .select(col("a"), col("b"), col("jac_est"), col("jac_exact"), col("abs_err"))
     })
 
   private val docDedupOracles: Map[String, String] = Map(
@@ -876,7 +954,37 @@ object Queries {
          |    END AS cont_ba
          |  FROM cand c JOIN sk sa ON sa.doc_id = c.a JOIN sk sb ON sb.doc_id = c.b)
          |SELECT a, b, cont_ab, cont_ba FROM co
-         |WHERE greatest(cont_ab, cont_ba) >= 0.8""".stripMargin)
+         |WHERE greatest(cont_ab, cont_ba) >= 0.8""".stripMargin,
+    // estimator audit: jac_est replicated from the sketch dump (jacSql),
+    // jac_exact re-counted from the raw text's distinct 4-grams — two
+    // independent paths meeting at the same pair rows
+    "d15_sketch_error_audit" ->
+      s"""WITH $candSql,
+         |$jacSql,
+         |nt AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, substr(nt, i::INT, 4) AS gram
+         |  FROM (SELECT doc_id, nt, unnest(range(1, length(nt)-2)) AS i
+         |        FROM nt WHERE length(nt) >= 4)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |cmn AS (
+         |  SELECT c.a, c.b, count(*) AS c
+         |  FROM cand c
+         |  JOIN grams ga ON ga.doc_id = c.a
+         |  JOIN grams gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT j.a, j.b, j.jac_est,
+         |    round(coalesce(cm.c, 0) * 1.0 /
+         |      (sa.n + sb.n - coalesce(cm.c, 0)), 6) AS jac_exact
+         |  FROM jac j
+         |  LEFT JOIN cmn cm ON cm.a = j.a AND cm.b = j.b
+         |  JOIN sizes sa ON sa.doc_id = j.a
+         |  JOIN sizes sb ON sb.doc_id = j.b)
+         |SELECT a, b, jac_est, jac_exact,
+         |  round(abs(jac_est - jac_exact), 6) AS abs_err FROM ex""".stripMargin)
 
   // ================================================================ t04: winnowing fingerprints
   //

@@ -27,6 +27,51 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("d15 audit: exact side matches a direct kernel recount; error is sketch-noise-sized") {
+    val rows = SparkEntry.queries("d15_sketch_error_audit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // 128-min estimator noise is ~1/sqrt(128) ≈ 0.088 one-sigma; anything
+    // past 3 sigma would mean the est/exact sides disagree on the gram
+    // universe, not statistics
+    rows.foreach { r =>
+      val (est, exact, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(err === math.abs(BigDecimal(est - exact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      assert(err <= 0.27, s"pair (${r.getLong(0)},${r.getLong(1)}): |$est-$exact|")
+    }
+    // one pair re-counted straight from the raw text with the kernel's
+    // own normalizer — pins the query's gram universe to Shingles'
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val r0 = rows.minBy(_.getLong(0))
+    def gramSet(id: Long): Set[String] = {
+      val nt = graft.core.Shingles.normalizeText(docs(id))
+      if (nt.length < 4) Set(nt) else nt.sliding(4).toSet
+    }
+    val (ga, gb) = (gramSet(r0.getLong(0)), gramSet(r0.getLong(1)))
+    val expected = BigDecimal(ga.intersect(gb).size.toDouble / ga.union(gb).size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0.getDouble(3) === expected)
+  }
+
+  test("t06 unigram logprob: a hand-rolled corpus model reproduces one doc's score") {
+    val out = SparkEntry.queries("t06_unigram_logprob")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val df = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = df.values.sum.toDouble
+    val (id, toks) = docs.minBy(_._1)
+    val expected = toks.map(w => math.log(df(w) / total)).sum / toks.length
+    val (n, got) = out(id)
+    assert(n === toks.length.toLong)
+    assert(math.abs(got - expected) < 1e-5, s"doc $id: $got vs $expected")
+    // every score is a genuine log-probability: strictly negative
+    assert(out.values.forall(_._2 < 0.0))
+  }
+
   test("e03 LSH pairs are a subset of e02 brute-force pairs (same threshold)") {
     val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
