@@ -97,11 +97,16 @@ object Queries {
       val cutoff = new java.sql.Timestamp((minTs.getTime + maxTs.getTime) / 2)
       Files.createDirectories(dir)
       def stage(df: DataFrame, name: String): Unit = {
-        val tmp = Files.createTempDirectory(s"stage_$name").toString
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        Files.move(part.toPath, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+        val tmp = Files.createTempDirectory(s"stage_$name")
+        try {
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.move(part.toPath, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+        } finally { // drop the _SUCCESS/.crc litter, not just the part file
+          tmp.toFile.listFiles().foreach(_.delete())
+          Files.deleteIfExists(tmp)
+        }
       }
       def tsLit(ms: Long) =
         lit(new java.sql.Timestamp(ms)).cast(schema("ts").dataType)
@@ -572,6 +577,23 @@ object Queries {
       Lsh.candidatePairs(docBanded(s, d), maxBucket = 64)
     }
 
+  /** (doc_id, cluster) — the ≥0.5-Jaccard-confirmed near-dup clustering,
+    * dumped once per (sfDir, JVM): d06 returns it verbatim and d11 keys
+    * its keep-rule off it (the confirm joins and the iterative CC loop
+    * previously ran twice per verify run). */
+  private def docClusterLabels(s: SparkSession, d: String): DataFrame =
+    dumpDerived(s, d, "doc_cluster_labels") {
+      val sk = docSketches(s, d)
+      val edges = docCandidates(s, d)
+        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
+        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
+        .where(GraftFunctions.jaccard(col("mins_a"), col("mins_b"), docSketch) >= 0.5)
+        .select(col("a").as("src"), col("b").as("dst"))
+      ConnectedComponents
+        .labelAll(t(s, d, "documents").select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+    }
+
   /** DuckDB replica of [[Lsh.candidatePairsCapped]] over the band dump. */
   private def candSql: String =
     s"""bnd AS (SELECT id, bandKey FROM read_parquet(${oraclePath("doc_banded")})),
@@ -629,17 +651,7 @@ object Queries {
         .select(col("a"), col("b"), col("hamming"))
     },
     // near-dup clusters: confirmed edges → connected components
-    "d06_doc_clusters" -> { (s, d) =>
-      val sk = docSketches(s, d)
-      val edges = docCandidates(s, d)
-        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
-        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
-        .where(GraftFunctions.jaccard(col("mins_a"), col("mins_b"), docSketch) >= 0.5)
-        .select(col("a").as("src"), col("b").as("dst"))
-      val nodes = t(s, d, "documents").select(col("doc_id").as("id"))
-      ConnectedComponents.labelAll(nodes, edges)
-        .select(col("id").as("doc_id"), col("component").as("cluster"))
-    },
+    "d06_doc_clusters" -> { (s, d) => docClusterLabels(s, d) },
     // SCALED-mode sketches end-to-end — the reference's second sketch mode
     // (`/root/reference/src/lib.rs:198,206`): an unsigned max_hash cutoff
     // instead of bottom-k. scaled=4 → max_hash = 2^62; at num=0 the merge
@@ -669,16 +681,8 @@ object Queries {
     // the d06 label table + one hash-partitioned window over the
     // cluster key; no all-pairs, no extra shuffle beyond the label join.
     "d11_canonical_keep" -> { (s, d) =>
-      val sk = docSketches(s, d)
-      val edges = docCandidates(s, d)
-        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
-        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
-        .where(GraftFunctions.jaccard(col("mins_a"), col("mins_b"), docSketch) >= 0.5)
-        .select(col("a").as("src"), col("b").as("dst"))
       val docs = t(s, d, "documents")
-      val labeled = ConnectedComponents
-        .labelAll(docs.select(col("doc_id").as("id")), edges)
-        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val labeled = docClusterLabels(s, d)
       val scored = docs.select(col("doc_id"),
         size(toks(col("text"))).cast("long").as("n_tokens"))
       val byCluster = Window.partitionBy(col("cluster"))
@@ -783,8 +787,13 @@ object Queries {
     // never all-pairs), so the audit costs O(candidates), not O(n²).
     "d15_sketch_error_audit" -> { (s, d) =>
       val sk = docSketches(s, d)
+      // collapse-THEN-trim matches Shingles.normalizeText exactly: the
+      // collapse turns any leading/trailing whitespace run (\n, \t, …)
+      // into a single space, which the space-stripping trim then removes
+      // (trim-first would leave non-space leading whitespace behind as a
+      // retained space — a gram universe captionMinhash never sketches)
       val normed = t(s, d, "documents").select(col("doc_id"),
-        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("nt"))
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("nt"))
       // distinct char-4-grams of the normalized text — the same shingle
       // universe captionMinhash sketches (ASCII corpus: byte == char
       // grams); hashed to longs so the pair joins never carry strings
@@ -962,7 +971,7 @@ object Queries {
       s"""WITH $candSql,
          |$jacSql,
          |nt AS (
-         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
          |  FROM documents),
          |grams AS (
          |  SELECT DISTINCT doc_id, substr(nt, i::INT, 4) AS gram
@@ -1063,8 +1072,10 @@ object Queries {
          |  SELECT doc_id, pos, pick_pos, pick_u FROM picks
          |  WHERE prev_pos IS NULL OR pick_pos <> prev_pos),
          |long_docs AS (
-         |  SELECT doc_id, count(*) AS n_fps, arg_min(pick_u, pos)::VARCHAR AS first_fp
-         |  FROM dedup GROUP BY doc_id),
+         |  SELECT dedup.doc_id, count(*) AS n_fps,
+         |    arg_min(pick_u, pos)::VARCHAR AS first_fp
+         |  FROM dedup JOIN len USING (doc_id)
+         |  WHERE len.n > 8 GROUP BY dedup.doc_id),
          |short_docs AS (
          |  SELECT h.doc_id, 1 AS n_fps, min(u)::VARCHAR AS first_fp
          |  FROM h JOIN len USING (doc_id) WHERE len.n <= 8 GROUP BY h.doc_id),
@@ -1113,10 +1124,7 @@ object Queries {
     // data-adaptive key width) + exact confirm. nRows comes from the
     // memoized table-statistics stand-in (one footer-cheap count per
     // table per JVM) so lshPairs never re-scans to size the key width.
-    "e03_embedding_lsh_pairs" -> { (s, d) =>
-      Similarity.lshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        minCos = 0.45, dim = 64, nRows = tableRows(s, d, "embeddings"))
-    },
+    "e03_embedding_lsh_pairs" -> { (s, d) => embPairs(s, d) },
     // the cell-partitioned ANN variant: IVF with a Lloyd-trained coarse
     // quantizer (deterministic sample init), nProbe-cell search, exact
     // in-cell rerank. The trained codebook is dumped; the oracle
@@ -1160,14 +1168,20 @@ object Queries {
     // this is the shape that runs: no all-pairs anywhere, one bucket
     // shuffle for candidates, min-label components.
     "e05_embedding_dedup" -> { (s, d) =>
-      val emb = t(s, d, "embeddings")
-      val edges = Similarity.lshPairs(emb, "vec_id", "embedding",
-          minCos = 0.45, dim = 64, nRows = tableRows(s, d, "embeddings"))
-        .select(col("a").as("src"), col("b").as("dst"))
-      val nodes = emb.select(col("vec_id").as("id"))
+      val edges = embPairs(s, d).select(col("a").as("src"), col("b").as("dst"))
+      val nodes = t(s, d, "embeddings").select(col("vec_id").as("id"))
       ConnectedComponents.labelAll(nodes, edges)
         .select(col("id").as("vec_id"), col("component").as("cluster"))
     })
+
+  /** Hyperplane-LSH near-dup pairs over the embeddings table, dumped once
+    * per (sfDir, JVM): e03 returns the pair set and e05 clusters it (the
+    * full band/bucket/cosine-confirm pass previously ran twice). */
+  private def embPairs(s: SparkSession, d: String): DataFrame =
+    dumpDerived(s, d, "emb_pairs") {
+      Similarity.lshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        minCos = 0.45, dim = 64, nRows = tableRows(s, d, "embeddings"))
+    }
 
   private val embeddingOracles: Map[String, String] = Map(
     "e01_knn_bruteforce" ->
@@ -1392,12 +1406,15 @@ object Queries {
       val inDir = Files.createTempDirectory("st01_in")
       val outDir = Files.createTempDirectory("st01_out").toString
       val ckpt = Files.createTempDirectory("st01_ckpt").toString
-      // batch 1: the real events (one file = one micro-batch); batches
-      // 2-3: the staged watermark sentinels
-      Files.copy(Paths.get(s"$d/events.parquet"), inDir.resolve("b1.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      copyBatch(staged.resolve("st01_s3.parquet"), inDir, "b2.parquet", 60000L)
-      copyBatch(staged.resolve("st01_s4.parquet"), inDir, "b3.parquet", 120000L)
+      // batches 1-2: the real events via the staged halves (their union
+      // is the full table; staging also makes this robust to the input
+      // being a parquet DIRECTORY — a raw Files.copy of a directory-shaped
+      // table would silently stage an empty batch); batches 3-4: the
+      // staged watermark sentinels
+      copyBatch(staged.resolve("b1.parquet"), inDir, "b1.parquet", 0L)
+      copyBatch(staged.resolve("b2.parquet"), inDir, "b2.parquet", 30000L)
+      copyBatch(staged.resolve("st01_s3.parquet"), inDir, "b3.parquet", 60000L)
+      copyBatch(staged.resolve("st01_s4.parquet"), inDir, "b4.parquet", 120000L)
       withShufflePartitions(s, 8) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
@@ -1635,25 +1652,28 @@ object Queries {
     * (next event further than the gap). Batches arrive time-ordered
     * (file source by mtime), events within a batch are sorted here; ties
     * and duplicates extend the current session. */
-  def sessionize(user: Long, rows: Iterator[(Long, Long)],
-      state: org.apache.spark.sql.streaming.GroupState[SessionState])
-      : Iterator[(Long, Long, Long, Long)] = {
-    val times = rows.map(_._2).toArray
+  /** The session fold BOTH handlers delegate to — the merge/close rule
+    * lives in exactly one place so st03 and st04 cannot silently diverge.
+    * Sorts this batch's event times, folds them into the open session,
+    * and returns (sessions closed by a > gap quiet period, final open
+    * state). Out-of-order rows (possible ACROSS micro-batches within the
+    * watermark allowance) extend BOTH ends: since the watermark delay
+    * (1 h) is far below the gap (8 h), any row the engine did not drop as
+    * late necessarily lands within gap of the open session, so the merge
+    * branch is always the correct one and start must track the earliest
+    * event, not the first seen. */
+  private def foldSessions(user: Long, times: Array[Long],
+      st0: Option[SessionState])
+      : (Seq[(Long, Long, Long, Long)], Option[SessionState]) = {
     java.util.Arrays.sort(times)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-    var st = state.getOption
+    var st = st0
     var i = 0
     while (i < times.length) {
       val ts = times(i)
       st match {
         case None => st = Some(SessionState(ts, ts, 1L))
         case Some(cur) if ts - cur.last <= sessionGapUs =>
-          // out-of-order rows (possible ACROSS micro-batches within the
-          // watermark allowance) extend BOTH ends: since the watermark
-          // delay (1 h) is far below the gap (8 h), any row the engine
-          // did not drop as late necessarily lands within gap of the
-          // open session, so the merge branch is always the correct one
-          // and start must track the earliest event, not the first seen
           st = Some(SessionState(math.min(cur.start, ts),
             math.max(cur.last, ts), cur.n + 1))
         case Some(cur) =>
@@ -1662,8 +1682,15 @@ object Queries {
       }
       i += 1
     }
+    (out.toSeq, st)
+  }
+
+  def sessionize(user: Long, rows: Iterator[(Long, Long)],
+      state: org.apache.spark.sql.streaming.GroupState[SessionState])
+      : Iterator[(Long, Long, Long, Long)] = {
+    val (closed, st) = foldSessions(user, rows.map(_._2).toArray, state.getOption)
     st.foreach(state.update)
-    out.iterator
+    closed.iterator
   }
 
   /** [[sessionize]]'s production closure path — `EventTimeTimeout`:
@@ -1684,29 +1711,7 @@ object Queries {
       state.remove()
       Iterator.single((user, cur.start, cur.last, cur.n))
     } else {
-      val times = rows.map(_._2).toArray
-      java.util.Arrays.sort(times)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-      var st = state.getOption
-      var i = 0
-      while (i < times.length) {
-        val ts = times(i)
-        st match {
-          case None => st = Some(SessionState(ts, ts, 1L))
-          case Some(cur) if ts - cur.last <= sessionGapUs =>
-            // out-of-order rows across micro-batches (legal inside the
-            // watermark allowance, which is far below the gap) extend
-            // BOTH ends: any row not dropped as late lands within gap of
-            // the open session, so this branch is always the right one
-            // and start must track the earliest event, not the first seen
-            st = Some(SessionState(math.min(cur.start, ts),
-              math.max(cur.last, ts), cur.n + 1))
-          case Some(cur) =>
-            out += ((user, cur.start, cur.last, cur.n))
-            st = Some(SessionState(ts, ts, 1L))
-        }
-        i += 1
-      }
+      val (closed, st) = foldSessions(user, rows.map(_._2).toArray, state.getOption)
       st.foreach { cur =>
         state.update(cur)
         // the GroupState timeout API is millisecond-precision; the wall
@@ -1714,7 +1719,7 @@ object Queries {
         // relative to exact micros — never extend it past the gap
         state.setTimeoutTimestamp((cur.last + sessionGapUs) / 1000L)
       }
-      out.iterator
+      closed.iterator
     }
   }
 

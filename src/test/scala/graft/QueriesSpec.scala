@@ -53,6 +53,15 @@ class QueriesSpec extends AnyFunSuite {
     val expected = BigDecimal(ga.intersect(gb).size.toDouble / ga.union(gb).size)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r0.getDouble(3) === expected)
+    // the query's SQL normalizer must equal the kernel's on hostile
+    // whitespace (leading \n\t, internal runs, trailing \r) — trim-first
+    // would keep a leading space the sketch never sees
+    import spark.implicits._
+    val hostile = Seq("\n\tfoo  bar baz\r", "  QUICK\t\tbrown ", "x")
+    val viaSql = hostile.toDF("text")
+      .select(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql === hostile.map(graft.core.Shingles.normalizeText))
   }
 
   test("t06 unigram logprob: a hand-rolled corpus model reproduces one doc's score") {
