@@ -1873,10 +1873,11 @@ object Queries {
           expr("aggregate(abunds, 0L, (acc, x) -> acc + x)").as("sum_abund"))
     },
     // ABUNDANCE-WEIGHTED comparison (published sourmash
-    // `similarity(ignore_abundance=False)` = angular/cosine similarity
-    // over the sparse hash→abundance vectors; the reference tracks
-    // abundances with merge quirks but stops short of the weighted
-    // compare — completed here like scaledToMaxHash completes --scaled).
+    // `similarity(ignore_abundance=False)` = angular similarity
+    // 1 − 2·acos(ρ)/π, ρ the cosine over the sparse hash→abundance
+    // vectors; the reference tracks abundances with merge quirks but
+    // stops short of the weighted compare — completed here like
+    // scaledToMaxHash completes --scaled).
     // DataFrame formulation: explode (hash, abund), inner-join on common
     // hashes for the dot product (missing hashes contribute 0), per-
     // sketch norms over the FULL abundance vector; pairs sharing no hash
@@ -1927,7 +1928,10 @@ object Queries {
       dots.join(norms.select(col("name").as("a"), col("n2").as("n2a")), "a")
         .join(norms.select(col("name").as("b"), col("n2").as("n2b")), "b")
         .select(col("a"), col("b"),
-          round(col("dot") / sqrt(col("n2a") * col("n2b")), 6).as("angular_sim"))
+          // published sourmash angular similarity: 1 − 2·acos(ρ)/π, not
+          // the raw cosine (MinHash.angularSimilarity is the kernel twin)
+          round(lit(1.0) - lit(2.0) * acos(col("dot") / sqrt(col("n2a") * col("n2b")))
+            / lit(math.Pi), 6).as("angular_sim"))
     })
 
   /**
@@ -2058,7 +2062,7 @@ object Queries {
         |  FROM g x JOIN g y ON x.u = y.u AND x.name < y.name
         |  GROUP BY 1, 2)
         |SELECT a, b,
-        |       round(d / sqrt(nx.n2 * ny.n2), 6) AS angular_sim
+        |       round(1 - 2 * acos(d / sqrt(nx.n2 * ny.n2)) / pi(), 6) AS angular_sim
         |FROM dot
         |JOIN norm nx ON nx.name = dot.a
         |JOIN norm ny ON ny.name = dot.b""".stripMargin,

@@ -200,7 +200,15 @@ object MinHash {
         if (U64.le(hashes(i), cfg.maxHash)) { kept(n) = hashes(i); n += 1 }
         i += 1
       }
-      U64.sortedDistinct(java.util.Arrays.copyOf(kept, n))
+      val cut = U64.sortedDistinct(java.util.Arrays.copyOf(kept, n))
+      // non-normalized config with BOTH maxHash and num set: add_hash
+      // evicts past num even in scaled mode (lib.rs "is it too big now?"),
+      // so the batch path must cap too — otherwise the two
+      // property-tested-equivalent paths diverge for any caller that
+      // skipped SketchConfig.normalized (the deserialize rule num→0 when
+      // max_hash != 0 makes this a no-op for normalized configs)
+      if (cfg.num > 0 && cut.length > cfg.num) java.util.Arrays.copyOf(cut, cfg.num)
+      else cut
     } else {
       val sd = U64.sortedDistinct(hashes)
       if (cfg.num > 0 && sd.length > cfg.num) java.util.Arrays.copyOf(sd, cfg.num)
@@ -375,19 +383,24 @@ object MinHash {
     if (a.isEmpty) 0.0 else countCommon(a, b).toDouble / a.length.toDouble
 
   /**
-   * Abundance-weighted similarity — cosine of the two abundance vectors
-   * over the hash universe (published sourmash's
-   * `similarity(ignore_abundance=False)` / `angular_similarity`: each
-   * sketch is a sparse vector hash → abundance; missing hashes are 0, so
-   * the dot product runs over COMMON hashes only while each norm covers
-   * the sketch's full abundance vector). The reference tracks abundances
-   * (`/root/reference/src/lib.rs:52-58`, K6's merge quirks) but stops
-   * short of an abund-weighted compare — this completes that surface the
-   * same way scaledToMaxHash completes `--scaled`.
+   * Abundance-weighted similarity — published sourmash's
+   * `similarity(ignore_abundance=False)` / `angular_similarity`:
+   * `1 − 2·acos(ρ)/π` where ρ is the cosine of the two abundance vectors
+   * over the hash universe (each sketch is a sparse vector
+   * hash → abundance; missing hashes are 0, so the dot product runs over
+   * COMMON hashes only while each norm covers the sketch's full
+   * abundance vector). The acos transform is part of the published
+   * semantics — raw cosine would over-score moderate overlaps (cos 0.9
+   * reads 0.9; sourmash reports ≈ 0.713). The reference tracks
+   * abundances (`/root/reference/src/lib.rs:52-58`, K6's merge quirks)
+   * but stops short of an abund-weighted compare — this completes that
+   * surface the same way scaledToMaxHash completes `--scaled`.
    *
    * Inputs: `mins` sorted by unsigned value with parallel `abunds`
    * (the invariant every sketch source maintains). 0.0 when either side
-   * is empty or has all-zero abundances.
+   * is empty or has all-zero abundances (disjoint sketches also land on
+   * exactly 0.0: acos(0) = π/2). Self-similarity is exactly 1.0 (ρ is
+   * clamped to [−1, 1] before acos — fp round-up must not yield NaN).
    */
   def angularSimilarity(minsA: Array[Long], abundsA: Array[Long],
       minsB: Array[Long], abundsB: Array[Long]): Double = {
@@ -408,6 +421,9 @@ object MinHash {
     j = 0
     while (j < abundsB.length) { n2b += abundsB(j).toDouble * abundsB(j); j += 1 }
     if (n2a == 0.0 || n2b == 0.0) 0.0
-    else dot / math.sqrt(n2a * n2b)
+    else {
+      val cos = math.min(1.0, math.max(-1.0, dot / math.sqrt(n2a * n2b)))
+      1.0 - 2.0 * math.acos(cos) / math.Pi
+    }
   }
 }

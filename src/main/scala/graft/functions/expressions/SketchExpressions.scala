@@ -178,7 +178,7 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
-  /** Abundance-weighted (angular/cosine) similarity over two sketches'
+  /** Abundance-weighted angular similarity (1 - 2*acos(cos)/pi) over two sketches'
     * (mins, abunds) pairs — static kernel for the codegen'd
     * [[AngularMinhash]]. */
   def angular(ma: ArrayData, aa: ArrayData, mb: ArrayData, ab: ArrayData): Double =
@@ -363,7 +363,8 @@ case class HyperplaneKeys(child: Expression, dim: Int, nPlanes: Int,
 /** `caption_lcs(a, b)` — longest-common-substring length via a
   * generalized suffix array (codegen'd; confirm-stage substring pass). */
 /** `graft_angular(minsA, abundsA, minsB, abundsB)` — abundance-weighted
-  * (angular/cosine) similarity over sparse hash→abundance vectors; the
+  * angular similarity (published sourmash: 1 − 2·acos(ρ)/π over sparse
+  * hash→abundance vectors); the
   * SQL-surface twin of `MinHash.angularSimilarity` (sm07, the
   * `"abundance"` search mode). Strict nulls: a sketch without stored
   * abundances passes `array_repeat(1L, size(mins))` explicitly. */

@@ -43,6 +43,11 @@ final class Lineage(spark: SparkSession, root: String) {
         spark.read.parquet(dataPath(name)) // resume: skip recompute
       case _ =>
         val t0 = System.nanoTime()
+        // invalidate the stale fingerprint BEFORE the data directory is
+        // touched: a crash mid-overwrite must leave a stage that
+        // RECOMPUTES on resume, never one whose old meta vouches for
+        // another fingerprint's partial data
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(metaPath(name)))
         val out = df
         // write-metrics: the row count is observed INSIDE the write pass
         // (Observation piggybacks an aggregate on the write job — no
@@ -80,10 +85,15 @@ final class Lineage(spark: SparkSession, root: String) {
 object Lineage {
 
   /** Deterministic fingerprint of a stage's inputs: config rendering +
-    * upstream fingerprints. */
+    * upstream fingerprints. Each part is length-prefixed so distinct
+    * part LISTS cannot collide by concatenation (("ab","c") vs ("a","bc")). */
   def fingerprint(parts: String*): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    parts.foreach(p => md.update(p.getBytes("UTF-8")))
+    parts.foreach { p =>
+      val b = p.getBytes("UTF-8")
+      md.update(s"${b.length}:".getBytes("UTF-8"))
+      md.update(b)
+    }
     md.digest().map(b => f"${b & 0xff}%02x").mkString
   }
 

@@ -23,6 +23,16 @@ import graft.core.{MinHash, SketchConfig}
  */
 object SignatureSearch {
 
+  /** A db row with a NULL mins column is a malformed sketch the loaders
+    * reject (FAILFAST) — if one reaches a score kernel anyway, fail with
+    * a diagnosis instead of an executor NPE mid-stage. */
+  private def requireMins(mins: Seq[Long]): Array[Long] = {
+    if (mins == null)
+      throw new IllegalArgumentException(
+        "sketch row with null mins reached the score kernel (malformed signature input)")
+    mins.toArray
+  }
+
   def linear(db: DataFrame, queryMins: Array[Long], cfg: SketchConfig,
       threshold: Double, mode: String,
       queryAbunds: Array[Long] = null): DataFrame = {
@@ -30,14 +40,15 @@ object SignatureSearch {
     val q = queryMins
     val score = mode match {
       case "similarity" =>
-        udf((mins: Seq[Long]) => MinHash.compare(mins.toArray, q, localCfg))
+        udf((mins: Seq[Long]) => MinHash.compare(requireMins(mins), q, localCfg))
       case "containment" =>
         udf((mins: Seq[Long]) =>
-          if (mins.isEmpty) 0.0
+          if (requireMins(mins).isEmpty) 0.0
           else MinHash.countCommon(mins.toArray, q).toDouble / mins.length)
       case "abundance" =>
         // published-sourmash `similarity(ignore_abundance=False)` =
-        // angular/cosine similarity over hash→abundance vectors. The
+        // angular similarity (1 − 2·acos(ρ)/π, published sourmash
+        // semantics) over hash→abundance vectors. The
         // reference CLI parses `--ignore-abundance`
         // (`src/sourmash.yml:64-69`) but its compare kernel never reads
         // abundances — this mode completes the flag's advertised
@@ -56,7 +67,7 @@ object SignatureSearch {
           else lit(null).cast("array<long>")
         return db.withColumn("score",
           udf((mins: Seq[Long], abunds: Seq[Long]) => {
-            val m = mins.toArray
+            val m = requireMins(mins)
             val a = if (abunds != null) abunds.toArray else Array.fill(m.length)(1L)
             MinHash.angularSimilarity(m, a, q, qa)
           }).apply(col("mins"), abundCol))
@@ -116,11 +127,16 @@ object SignatureSearch {
    */
   def report(results: DataFrame, numResults: Int = 3,
       bestOnly: Boolean = false): DataFrame = {
-    results
+    val ordered = results
       .orderBy(col("score").desc, col("filename"), col("md5sum"))
-      .limit(if (bestOnly) 1 else numResults)
-      .select(col("score").as("similarity"), col("name"), col("filename"),
-        col("md5sum").as("md5"))
+    // `-n 0` = show ALL matches (main.rs:227-231 sets n_matches to
+    // results.len() when num_results == 0), not zero rows
+    val limited =
+      if (bestOnly) ordered.limit(1)
+      else if (numResults > 0) ordered.limit(numResults)
+      else ordered
+    limited.select(col("score").as("similarity"), col("name"),
+      col("filename"), col("md5sum").as("md5"))
   }
 
   /** `-o` CSV sink for [[report]] (header row, one file — reports are

@@ -3,6 +3,98 @@ package graft.sources
 import java.nio.{ByteBuffer, ByteOrder}
 
 /**
+ * Little-endian LONG-indexed bitset. `java.util.BitSet` caps bit indices
+ * at `Int.MaxValue` (~2.1·10⁹ bits ≈ 256 MB/table), but OXLI tablesizes
+ * are u64 and real khmer deployments run multi-GB Bloom tables — with an
+ * Int-indexed set, `remainderUnsigned` past 2³¹ went negative and
+ * get/set threw (or corrupted the table). Supported range is explicit:
+ * up to ~1.37·10¹¹ bits (17 GB/table, the JVM array-length ceiling on
+ * the word array); beyond that the constructor errors rather than
+ * silently truncating.
+ *
+ * Value semantics over current contents (equals/hashCode) — the
+ * NodegraphSpec fixture comparisons rely on them.
+ */
+final class LongBitSet private (val nBits: Long,
+    private val words: Array[Long]) {
+  def get(i: Long): Boolean =
+    (words((i >>> 6).toInt) & (1L << (i & 63).toInt)) != 0L
+  def set(i: Long): Unit =
+    words((i >>> 6).toInt) |= (1L << (i & 63).toInt)
+  def or(o: LongBitSet): Unit = {
+    var w = 0
+    while (w < words.length) { words(w) |= o.words(w); w += 1 }
+  }
+  def cardinality(): Long = {
+    var c = 0L; var w = 0
+    while (w < words.length) { c += java.lang.Long.bitCount(words(w)); w += 1 }
+    c
+  }
+  /** popcount(this ∧ other) without materializing the intersection. */
+  def andCardinality(o: LongBitSet): Long = {
+    var c = 0L; var w = 0
+    while (w < words.length) {
+      c += java.lang.Long.bitCount(words(w) & o.words(w)); w += 1
+    }
+    c
+  }
+  /** popcount(this ∨ other) without materializing the union. */
+  def orCardinality(o: LongBitSet): Long = {
+    var c = 0L; var w = 0
+    while (w < words.length) {
+      c += java.lang.Long.bitCount(words(w) | o.words(w)); w += 1
+    }
+    c
+  }
+  /** LSB-first little-endian bytes, exactly `nBytes` long (the OXLI
+    * layout pads to tablesize/8 + 1 — zero-padding here and in the
+    * writer produce identical files). */
+  def toByteArray(nBytes: Int): Array[Byte] = {
+    val out = new Array[Byte](nBytes)
+    var j = 0
+    val lim = math.min(nBytes.toLong, (words.length.toLong) << 3).toInt
+    while (j < lim) {
+      out(j) = ((words(j >>> 3) >>> ((j & 7) << 3)) & 0xffL).toByte
+      j += 1
+    }
+    out
+  }
+  override def equals(that: Any): Boolean = that match {
+    case o: LongBitSet => nBits == o.nBits &&
+      java.util.Arrays.equals(words, o.words)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * java.lang.Long.hashCode(nBits) + java.util.Arrays.hashCode(words)
+  def copyOf(): LongBitSet =
+    new LongBitSet(nBits, java.util.Arrays.copyOf(words, words.length))
+}
+
+object LongBitSet {
+  private def wordCount(nBits: Long): Int = {
+    require(nBits >= 1 && ((nBits + 63) >>> 6) <= Int.MaxValue.toLong,
+      s"tablesize $nBits bits outside the supported range [1, ~1.37e11]")
+    ((nBits + 63) >>> 6).toInt
+  }
+  def empty(nBits: Long): LongBitSet =
+    new LongBitSet(nBits, new Array[Long](wordCount(nBits)))
+  /** From LSB-first little-endian bytes (the OXLI on-disk bit layout).
+    * The layout pads each table to `tablesize/8 + 1` bytes, which can
+    * exceed the word capacity for tablesizes divisible by 8 — those
+    * padding bytes are zero in any valid file and are ignored. */
+  def fromLittleEndianBytes(nBits: Long, raw: Array[Byte]): LongBitSet = {
+    val words = new Array[Long](wordCount(nBits))
+    val lim = math.min(raw.length.toLong, words.length.toLong << 3).toInt
+    var j = 0
+    while (j < lim) {
+      words(j >>> 3) |= (raw(j) & 0xffL) << ((j & 7) << 3)
+      j += 1
+    }
+    new LongBitSet(nBits, words)
+  }
+}
+
+/**
  * OXLI nodegraph (Bloom filter) binary reader/writer — reference S7/S8
  * (`/root/reference/src/index/nodegraph.rs:92-184`): magic "OXLI",
  * version 4, ht_type 2, little-endian ksize/occupied/tablesizes, then one
@@ -30,7 +122,7 @@ final class Nodegraph(
     val ksize: Int,
     initialOccupiedBins: Long,
     val tableSizes: Array[Long],
-    val tables: Array[java.util.BitSet]) {
+    val tables: Array[LongBitSet]) {
 
   private var occupied: Long = initialOccupiedBins
 
@@ -48,7 +140,7 @@ final class Nodegraph(
     var t = 0
     while (t < tables.length) {
       val bin = java.lang.Long.remainderUnsigned(hash, tableSizes(t))
-      if (!tables(t).get(bin.toInt)) return 0
+      if (!tables(t).get(bin)) return 0
       t += 1
     }
     1
@@ -62,7 +154,7 @@ final class Nodegraph(
     var isNew = false
     var t = 0
     while (t < tables.length) {
-      val bin = java.lang.Long.remainderUnsigned(hash, tableSizes(t)).toInt
+      val bin = java.lang.Long.remainderUnsigned(hash, tableSizes(t))
       if (!tables(t).get(bin)) { tables(t).set(bin); occupied += 1; isNew = true }
       t += 1
     }
@@ -82,12 +174,8 @@ final class Nodegraph(
     var union = 0L
     var t = 0
     while (t < tables.length) {
-      val a = tables(t).clone().asInstanceOf[java.util.BitSet]
-      a.and(other.tables(t))
-      inter += a.cardinality()
-      val u = tables(t).clone().asInstanceOf[java.util.BitSet]
-      u.or(other.tables(t))
-      union += u.cardinality()
+      inter += tables(t).andCardinality(other.tables(t))
+      union += tables(t).orCardinality(other.tables(t))
       t += 1
     }
     inter.toDouble / union.toDouble
@@ -98,9 +186,7 @@ final class Nodegraph(
     var inter = 0L
     var t = 0
     while (t < tables.length) {
-      val a = tables(t).clone().asInstanceOf[java.util.BitSet]
-      a.and(other.tables(t))
-      inter += a.cardinality()
+      inter += tables(t).andCardinality(other.tables(t))
       t += 1
     }
     inter.toDouble / tableSizes.sum.toDouble
@@ -120,10 +206,7 @@ final class Nodegraph(
     var t = 0
     while (t < tables.length) {
       bb.putLong(tableSizes(t))
-      val raw = tables(t).toByteArray // LSB-first, possibly short
-      bb.put(raw)
-      var pad = nBytes(t) - raw.length
-      while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+      bb.put(tables(t).toByteArray(nBytes(t))) // LSB-first, zero-padded
       t += 1
     }
     bb.array()
@@ -144,7 +227,7 @@ object Nodegraph {
     val nTables = bb.get() & 0xff
     val occupied = bb.getLong()
     val sizes = new Array[Long](nTables)
-    val tables = new Array[java.util.BitSet](nTables)
+    val tables = new Array[LongBitSet](nTables)
     var t = 0
     while (t < nTables) {
       val size = bb.getLong()
@@ -152,7 +235,7 @@ object Nodegraph {
       val nBytes = (size / 8 + 1).toInt
       val raw = new Array[Byte](nBytes)
       bb.get(raw)
-      tables(t) = java.util.BitSet.valueOf(raw)
+      tables(t) = LongBitSet.fromLittleEndianBytes(size, raw)
       t += 1
     }
     new Nodegraph(ksize, occupied, sizes, tables)
@@ -163,6 +246,5 @@ object Nodegraph {
 
   /** Empty graph with the given table sizes (`nodegraph.rs:20-32`). */
   def empty(tableSizes: Array[Long], ksize: Int): Nodegraph =
-    new Nodegraph(ksize, 0L, tableSizes,
-      tableSizes.map(s => new java.util.BitSet(s.toInt)))
+    new Nodegraph(ksize, 0L, tableSizes, tableSizes.map(LongBitSet.empty))
 }

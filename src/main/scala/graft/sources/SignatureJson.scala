@@ -128,7 +128,15 @@ object SignatureJson {
     if (keepPath) flat else flat.drop("src_path")
   }
 
-  /** S1+S2 flatten: one row per sketch with signature metadata. */
+  /** S1+S2 flatten: one row per sketch with signature metadata.
+    * DELIBERATELY permissive (unlike [[readAnyFrom]], the strict loader
+    * behind the CLI paths): this reader also globs v5 SBT directories,
+    * whose `internal.N` entries are BINARY Bloom files living next to the
+    * leaf signatures — permissive mode surfaces them as all-null rows
+    * that the md5-less filter drops (the S5 tree-as-table design,
+    * SURVEY.md §2.1). The cost is that a genuinely corrupt .sig in a
+    * directory load is skipped rather than raised — single-file strict
+    * loading goes through [[readAny]]. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.schema(sigSchema).option("multiLine", true).json(path)
     flatten(raw)
@@ -157,13 +165,18 @@ object SignatureJson {
         (lower(col("mh.molecule")) === "protein").as("is_protein")): _*)
   }
 
-  /** S2 predicate: ksize==0 is a wildcard; moltype None keeps all. */
+  /** S2 predicate: ksize==0 is a wildcard; moltype None keeps all. An
+    * UNRECOGNIZED moltype keeps nothing — the reference's
+    * load_signatures only admits matching "dna"/"protein" and falls
+    * through to false otherwise (lib.rs:615-642); keeping everything
+    * would be the opposite answer for the same arguments. */
   def filterSketches(df: DataFrame, ksize: Int, moltype: Option[String]): DataFrame = {
     val byK = if (ksize == 0) df else df.where(col("ksize") === ksize)
     moltype.map(_.toLowerCase) match {
+      case None => byK
       case Some("dna") => byK.where(!col("is_protein"))
       case Some("protein") => byK.where(col("is_protein"))
-      case _ => byK
+      case Some(_) => byK.where(lit(false))
     }
   }
 
@@ -214,9 +227,17 @@ object SignatureJson {
       lit(""","molecule":""""),
       when(col("is_protein"), lit("protein")).otherwise(lit("DNA")),
       lit("\"}"))
+    // a null sketch field would null the whole concat and collect_list
+    // would then silently DROP the sketch from the written file — the
+    // reference deserializer errors on such rows, so the sink must too
+    val mhJsonChecked = when(col("mins").isNull || col("num").isNull ||
+        col("ksize").isNull || col("seed").isNull || col("max_hash").isNull,
+      raise_error(concat(lit("toJson: sketch with null core field in signature "),
+        coalesce(col("name"), col("filename"), lit("<unnamed>")))))
+      .otherwise(mhJson)
     df.groupBy(col("class"), col("email"), col("hash_function"), col("filename"),
         col("name"), col("license"), col("version"))
-      .agg(array_join(collect_list(mhJson), ",").as("sketches"))
+      .agg(array_join(collect_list(mhJsonChecked), ",").as("sketches"))
       .select(coalesce(col("filename"), col("name"), lit("unnamed")).as("filename"),
         concat(
           lit("""[{"class":"""), jsonStr(col("class")),

@@ -114,7 +114,8 @@ class SearchCliSpec extends AnyFunSuite {
     val rows = results.select("name", "score").collect()
     assert(rows.length === 1 && rows.head.getString(0) === "db")
     val score = rows.head.getDouble(1)
-    assert(score > 0.99, s"identical surviving (min, abund) pairs should score ~1, got $score")
+    // surviving vectors (3,7) vs (2,5): cos ≈ 0.9997 → angular ≈ 0.984
+    assert(score > 0.97, s"near-identical surviving (min, abund) pairs should score ~1, got $score")
   }
 
   test("indexed abundance search forwards query abundances (== linear, != flat)") {

@@ -306,13 +306,15 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
-  test("angularSimilarity: cosine over sparse hash->abundance vectors") {
+  test("angularSimilarity: 1 - 2*acos(cos)/pi over sparse hash->abundance vectors") {
     // hand-computed: common hashes {2,5}: dot = 3*1 + 2*4 = 11;
-    // |a|^2 = 9+4+1 = 14, |b|^2 = 1+16+4 = 21 -> 11/sqrt(294)
+    // |a|^2 = 9+4+1 = 14, |b|^2 = 1+16+4 = 21 -> cos = 11/sqrt(294);
+    // published sourmash then applies the angular transform
+    def angular(cos: Double): Double = 1.0 - 2.0 * math.acos(cos) / math.Pi
     val got = MinHash.angularSimilarity(
       Array(2L, 5L, 9L), Array(3L, 2L, 1L),
       Array(2L, 5L, 7L), Array(1L, 4L, 2L))
-    assert(math.abs(got - 11.0 / math.sqrt(294.0)) < 1e-12)
+    assert(math.abs(got - angular(11.0 / math.sqrt(294.0))) < 1e-12)
     // symmetric; self-similarity 1; disjoint 0; empty 0
     val got2 = MinHash.angularSimilarity(
       Array(2L, 5L, 7L), Array(1L, 4L, 2L),

@@ -54,7 +54,8 @@ class AggSqlSpec extends AnyFunSuite {
         |       graft_angular(a.mins, array_repeat(1L, size(a.mins)),
         |                     a.mins, array_repeat(1L, size(a.mins))) AS self
         |FROM sqlspec_sketches a WHERE a.id = 'x'""".stripMargin).head()
-    assert(math.abs(ang.getDouble(0) - math.rint(1e9 * 11.0 / math.sqrt(294.0)) / 1e9) < 1e-12)
+    val angExp = 1.0 - 2.0 * math.acos(11.0 / math.sqrt(294.0)) / math.Pi
+    assert(math.abs(ang.getDouble(0) - math.rint(1e9 * angExp) / 1e9) < 1e-12)
     assert(math.abs(ang.getDouble(1) - 1.0) < 1e-12)
 
     // graft_downsample: unsigned prefix cut at scaled->maxHash, and the

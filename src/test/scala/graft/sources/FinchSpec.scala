@@ -88,7 +88,8 @@ class FinchSpec extends AnyFunSuite {
       b.getSeq[Long](b.fieldIndex("abunds")).toArray,
       c.getSeq[Long](c.fieldIndex("mins")).toArray,
       c.getSeq[Long](c.fieldIndex("abunds")).toArray)
-    assert(math.abs(sim - 60.0 / math.sqrt(149.0 * 151.0)) < 1e-12)
+    val expectedBc = 1.0 - 2.0 * math.acos(60.0 / math.sqrt(149.0 * 151.0)) / math.Pi
+    assert(math.abs(sim - expectedBc) < 1e-12)
     // a shares nothing with b or c
     assert(graft.core.MinHash.angularSimilarity(
       a.getSeq[Long](a.fieldIndex("mins")).toArray,
@@ -114,6 +115,7 @@ class FinchSpec extends AnyFunSuite {
     // disjoint (score 0, excluded by the strict threshold)
     assert(hits.keySet === Set("finch_b", "finch_c"))
     assert(math.abs(hits("finch_b") - 1.0) < 1e-12)
-    assert(math.abs(hits("finch_c") - 60.0 / math.sqrt(149.0 * 151.0)) < 1e-12)
+    assert(math.abs(hits("finch_c") -
+      (1.0 - 2.0 * math.acos(60.0 / math.sqrt(149.0 * 151.0)) / math.Pi)) < 1e-12)
   }
 }
