@@ -114,8 +114,12 @@ object GraftFunctions {
    * Native codegen'd expression (null bytes/fmt → empty sketch).
    */
   def imageMinhash(bytes: Column, fmt: Column, cfg: SketchConfig, stride: Int = 4): Column =
+    // fmt null-coalesced BEFORE the expression: BinaryExpression
+    // null-short-circuits on EITHER input, which would turn (bytes,
+    // null fmt) into an empty sketch — the kernel (and the UDF twin)
+    // treat an unknown/missing fmt as the raw-byte fallback instead
     coalesce(Bridge.column(expressions.ImageMinhash(
-      Bridge.expression(bytes), Bridge.expression(fmt),
+      Bridge.expression(bytes), Bridge.expression(coalesce(fmt, lit(""))),
       cfg.ksize, cfg.num, cfg.maxHash, cfg.seed, stride)), emptyMins)
 
   /** UDF formulation of [[imageMinhash]] — differential-test oracle. */
@@ -143,8 +147,12 @@ object GraftFunctions {
   /** UDF formulation of [[jaccard]] — differential-test oracle. */
   def jaccardUdf(a: Column, b: Column, cfg: SketchConfig): Column = {
     val localCfg = cfg
+    // null-FAITHFUL (null in -> null out), matching the native
+    // expression's null semantics — the twins must be bit-equal even on
+    // outer-join nulls
     val f = udf((x: Array[Long], y: Array[Long]) =>
-      if (x == null || y == null) 0.0 else MinHash.compare(x, y, localCfg))
+      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(MinHash.compare(x, y, localCfg)))
     f(a, b)
   }
 
@@ -166,8 +174,10 @@ object GraftFunctions {
 
   /** UDF formulation of [[containment]] — differential-test oracle. */
   def containmentUdf(a: Column, b: Column): Column = {
+    // null-faithful like jaccardUdf — see there
     val f = udf((x: Array[Long], y: Array[Long]) =>
-      if (x == null || y == null) 0.0 else MinHash.containment(x, y))
+      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(MinHash.containment(x, y)))
     f(a, b)
   }
 
@@ -212,12 +222,6 @@ object GraftFunctions {
     f(mins)
   }
 
-  /**
-   * Band keys for a 64-bit fingerprint (phash / simhash): split into
-   * `bands` bit-blocks. Pigeonhole guarantee: two fingerprints within
-   * Hamming distance `bands - 1` share at least one exact block.
-   * Pure built-ins — stays in whole-stage codegen.
-   */
   /**
    * Hamming-radius candidate keys for a 64-bit fingerprint — the
    * multi-piece scheme of Manku/Jain/Sarma (WWW'07, "Detecting
@@ -275,6 +279,12 @@ object GraftFunctions {
     }: _*)
   }
 
+  /**
+   * Band keys for a 64-bit fingerprint (phash / simhash): split into
+   * `bands` bit-blocks. Pigeonhole guarantee: two fingerprints within
+   * Hamming distance `bands - 1` share at least one exact block.
+   * Pure built-ins — stays in whole-stage codegen.
+   */
   def fingerprintBands(fp: Column, bands: Int): Column = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands

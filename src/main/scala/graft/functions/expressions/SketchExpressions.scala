@@ -238,7 +238,10 @@ object SketchKernels {
 
 /** `dot_product(a, b)` over ARRAY<DOUBLE> — no intermediate array (the
   * `aggregate(zip_with(...))` formulation allocates one per row). */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     SketchKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -251,7 +254,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
 /** `jaccard_minhash(a, b)` — reference-semantics similarity estimate. */
 case class JaccardMinhash(left: Expression, right: Expression, num: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     SketchKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], num)
@@ -264,7 +269,9 @@ case class JaccardMinhash(left: Expression, right: Expression, num: Int)
 
 /** `containment_minhash(a, b)` — asymmetric containment. */
 case class ContainmentMinhash(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     SketchKernels.containment(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -280,7 +287,8 @@ case class ContainmentMinhash(left: Expression, right: Expression)
   * and drops, sourmash.yml:71-76); codegen'd prefix cut. `maxHash` is
   * pre-converted from the scaled literal at registration. */
 case class DownsampleMinhash(child: Expression, maxHash: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(m: Any): Any =
     SketchKernels.downsample(m.asInstanceOf[ArrayData], maxHash)
@@ -292,7 +300,10 @@ case class DownsampleMinhash(child: Expression, maxHash: Long)
 
 /** `minhash_band_keys(mins)` — LSH band keys, codegen'd. */
 case class MinhashBandKeys(child: Expression, bands: Int, rowsPerBand: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(bands > 0 && rowsPerBand > 0,
+    s"minhash_band_keys: bands=$bands rowsPerBand=$rowsPerBand must be positive")
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(m: Any): Any =
     SketchKernels.bandKeys(m.asInstanceOf[ArrayData], bands, rowsPerBand, seed)
@@ -305,7 +316,8 @@ case class MinhashBandKeys(child: Expression, bands: Int, rowsPerBand: Int, seed
 /** `caption_minhash(text)` — string sketcher, codegen'd (the flagship
   * hot path; the UDF twin in GraftFunctions is the differential oracle). */
 case class CaptionMinhash(child: Expression, ksize: Int, num: Int, maxHash: Long, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(s: Any): Any =
     SketchKernels.captionMinhash(
@@ -318,7 +330,8 @@ case class CaptionMinhash(child: Expression, ksize: Int, num: Int, maxHash: Long
 
 /** `caption_simhash(text)` — 64-bit SimHash fingerprint, codegen'd. */
 case class CaptionSimhash(child: Expression, ksize: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullSafeEval(s: Any): Any =
     SketchKernels.captionSimhash(
@@ -332,7 +345,8 @@ case class CaptionSimhash(child: Expression, ksize: Int, seed: Long)
 /** `image_minhash(bytes, fmt)` — decode → normalize → sketch, codegen'd. */
 case class ImageMinhash(left: Expression, right: Expression,
     ksize: Int, num: Int, maxHash: Long, seed: Long, stride: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(BinaryType, StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(b: Any, f: Any): Any =
     SketchKernels.imageMinhash(b.asInstanceOf[Array[Byte]],
@@ -349,7 +363,13 @@ case class ImageMinhash(left: Expression, right: Expression,
   * path, codegen'd (the e03 banding hot path). */
 case class HyperplaneKeys(child: Expression, dim: Int, nPlanes: Int,
     nTables: Int, seed: Long, probe: Boolean)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(dim > 0 && nPlanes > 0 && nPlanes <= 62 && nTables > 0,
+    s"hyperplane_keys: dim=$dim nPlanes=$nPlanes nTables=$nTables out of range")
+  // ARRAY<FLOAT> declared: an ARRAY<DOUBLE> embedding column gets an
+  // analysis-time cast — without the declaration, getFloat() read 4-byte
+  // strides of 8-byte slots and produced silently-garbage LSH keys
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     SketchKernels.hyperplaneKeys(v.asInstanceOf[ArrayData], dim, nPlanes,
@@ -369,7 +389,10 @@ case class HyperplaneKeys(child: Expression, dim: Int, nPlanes: Int,
   * `"abundance"` search mode). Strict nulls: a sketch without stored
   * abundances passes `array_repeat(1L, size(mins))` explicitly. */
 case class AngularMinhash(first: Expression, second: Expression,
-    third: Expression, fourth: Expression) extends QuaternaryExpression {
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
     SketchKernels.angular(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
@@ -383,7 +406,8 @@ case class AngularMinhash(first: Expression, second: Expression,
 }
 
 case class CaptionLcs(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(StringType, StringType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any, b: Any): Any =
     SketchKernels.captionLcs(

@@ -142,7 +142,10 @@ object ConnectedComponents extends org.apache.spark.internal.Logging {
       iter += 1
       logWarning(s"[cc] round $iter edges=${sig._1} sig=${sig._2} converged=$converged")
     }
-    require(converged || maxIter == 0, s"connected components did not converge in $maxIter rounds")
+    // no maxIter=0 escape hatch: skipping the loop would return
+    // min-direct-neighbor labels, which are NOT components — an error
+    // beats a silently non-transitive labeling
+    require(converged, s"connected components did not converge in $maxIter rounds")
 
     // After convergence the edge set is a star stored canonically as
     // (src = component min, dst = member). Returned LAZY: the agg reads

@@ -156,6 +156,7 @@ object ImageCodec {
       var any = false
       while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
         v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+        if (v > 100000000) return None // corrupt header; also caps w*h*3 in Int range below
       }
       if (!any) return None
       nums(n) = v; n += 1
@@ -163,8 +164,12 @@ object ImageCodec {
     if (n < 3 || i >= bytes.length) return None
     i += 1 // single whitespace after maxval
     val w = nums(0); val h = nums(1)
-    if (nums(2) != 255 || bytes.length - i < w * h * 3) return None
-    Some(Decoded(java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3), w, h))
+    // Long arithmetic: a crafted header like 26755x26755 wraps w*h*3
+    // negative in Int, which would slip past the length check and throw
+    // out of copyOfRange instead of honoring the None-on-bad-input contract
+    val wh3 = w.toLong * h * 3L
+    if (nums(2) != 255 || w <= 0 || h <= 0 || wh3 > (bytes.length - i).toLong) return None
+    Some(Decoded(java.util.Arrays.copyOfRange(bytes, i, i + wh3.toInt), w, h))
   }
 
   /** PSNR in dB between two equal-length pixel arrays (identical → ∞). */

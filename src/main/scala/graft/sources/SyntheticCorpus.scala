@@ -130,8 +130,11 @@ object SyntheticCorpus {
     rgb
   }
 
-  /** Number of base (original) rows for a total row count. */
-  def nBase(nTotal: Long): Long = (nTotal * (1.0 - DUP_FRACTION)).toLong
+  /** Number of base (original) rows for a total row count — at least 1
+    * (a dup needs a source; nTotal=1 would otherwise divide by zero in
+    * [[dupPlan]]'s remainderUnsigned). */
+  def nBase(nTotal: Long): Long =
+    math.max(1L, (nTotal * (1.0 - DUP_FRACTION)).toLong)
 
   private val dupKinds = Array("exact", "noise", "reencode", "caption", "capsub", "pngenc", "jpgenc", "capedit")
 
