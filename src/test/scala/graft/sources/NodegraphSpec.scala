@@ -16,6 +16,34 @@ class NodegraphSpec extends AnyFunSuite {
   private val data = "/root/reference/tests/data"
   private def available = new java.io.File(s"$data/internal.0").isFile
 
+  test("LongBitSet: random set/get/byte round-trip; past-2^31 indices work") {
+    val rnd = new scala.util.Random(7)
+    // a tablesize just past the Int.MaxValue bit ceiling java.util.BitSet
+    // could address — the class this bitset exists to replace
+    val n = Int.MaxValue.toLong + 1000L
+    val bs = LongBitSet.empty(n)
+    val picks = Array.fill(200)(math.abs(rnd.nextLong()) % n) :+ (n - 1) :+ 0L
+    picks.foreach(bs.set)
+    assert(picks.forall(bs.get))
+    assert(bs.cardinality() === picks.distinct.length.toLong)
+    // small-set byte round-trip at the awkward sizes (word-aligned,
+    // byte-aligned, neither), including the OXLI size/8+1 padding shape
+    for (bits <- Seq(1L, 7L, 8L, 63L, 64L, 65L, 1000L)) {
+      val sm = LongBitSet.empty(bits)
+      (0L until bits by math.max(1L, bits / 7)).foreach(sm.set)
+      val nBytes = (bits / 8 + 1).toInt
+      val back = LongBitSet.fromLittleEndianBytes(bits, sm.toByteArray(nBytes))
+      assert(back === sm, s"bits=$bits")
+    }
+    // and/or cardinalities against an independent model
+    val a = LongBitSet.empty(512L); val b = LongBitSet.empty(512L)
+    val sa = Set(1L, 100L, 200L, 511L); val sb = Set(100L, 300L, 511L)
+    sa.foreach(a.set); sb.foreach(b.set)
+    assert(a.andCardinality(b) === (sa & sb).size.toLong)
+    assert(a.orCardinality(b) === (sa | sb).size.toLong)
+    intercept[IllegalArgumentException](LongBitSet.empty(0L))
+  }
+
   test("golden load: tablesizes and membership (nodegraph.rs:303-321)") {
     assume(available)
     val ng = Nodegraph.fromPath(s"$data/internal.0")
