@@ -104,8 +104,15 @@ object Queries {
             .filter(_.getName.endsWith(".parquet")).head
           Files.move(part.toPath, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
         } finally { // drop the _SUCCESS/.crc litter, not just the part file
-          tmp.toFile.listFiles().foreach(_.delete())
-          Files.deleteIfExists(tmp)
+          // Best-effort recursive cleanup: a failed write can leave a
+          // non-empty _temporary tree, and a throw from this finally
+          // would mask the original write failure
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          try rm(tmp.toFile)
+          catch { case scala.util.control.NonFatal(_) => }
         }
       }
       def tsLit(ms: Long) =
@@ -124,14 +131,14 @@ object Queries {
         .withColumn("ts", tsLit(maxTs.getTime + 24L * 3600 * 1000))
         .withColumn("event_type", lit("__sentinel"))
         .withColumn("value", lit(0.0)).withColumn("props", lit(""))
-        .select(schema.fieldNames.map(col): _*), "st03_sent.parquet")
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*), "st03_sent.parquet")
       // st04 single-key watermark sentinels (24 h advances the watermark,
       // 25 h guarantees a DATA batch runs with it applied)
       for (hrs <- Seq(24, 25))
         stage(events.limit(1)
           .withColumn("user_id", lit(-1L))
           .withColumn("ts", tsLit(maxTs.getTime + hrs * 3600L * 1000))
-          .select(schema.fieldNames.map(col): _*), s"st04_s$hrs.parquet")
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*), s"st04_s$hrs.parquet")
       // st05 delta-document micro-batches (the incremental-dedup probe's
       // arriving "new" docs, split in two to exercise batch composition)
       val delta = t(s, d, "documents").where(col("doc_id") % 5 === 0)
@@ -551,6 +558,28 @@ object Queries {
 
   private val docSketch = SketchConfig(num = 128, ksize = 4)
 
+  /** Published sourmash angular similarity 1 − 2·acos(ρ)/π from a dot
+    * product and the two squared norms ([[graft.core.MinHash.angularSimilarity]]
+    * is the kernel twin). ρ is clamped to [−1, 1] like the kernel — fp
+    * round-up past 1.0 on identical/proportional sketches would turn
+    * acos into NaN. Rounded to 6 places (single-operation fp, oracle-safe). */
+  private[graft] def angularSimCol(dot: Column, n2a: Column, n2b: Column): Column =
+    round(lit(1.0) - lit(2.0) * acos(
+        least(lit(1.0), greatest(lit(-1.0), dot / sqrt(n2a * n2b))))
+      / lit(math.Pi), 6)
+
+  /** Distinct char-4-grams of pre-normalized text `(doc_id, nt)` — the
+    * same shingle universe [[graft.core.Shingles.charShingleHashes]]
+    * sketches. Texts shorter than the gram width contribute their whole
+    * string as the single gram, mirroring the kernel, so no candidate
+    * endpoint silently vanishes from the d15 audit (an empty `nt` yields
+    * an empty sketch and can never be an LSH candidate). */
+  private[graft] def auditGrams(normed: DataFrame): DataFrame =
+    normed.where(length(col("nt")) >= 1)
+      .select(col("doc_id"), explode(when(length(col("nt")) >= 4, expr(
+          "array_distinct(transform(sequence(1, length(nt)-3), i -> substring(nt, i, 4)))"))
+        .otherwise(array(col("nt")))).as("gram"))
+
   /** (doc_id, source, mins, simhash) — written once, read by d03–d08. */
   private def docSketches(s: SparkSession, d: String): DataFrame =
     dumpDerived(s, d, "doc_sketches") {
@@ -794,12 +823,9 @@ object Queries {
       // retained space — a gram universe captionMinhash never sketches)
       val normed = t(s, d, "documents").select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("nt"))
-      // distinct char-4-grams of the normalized text — the same shingle
-      // universe captionMinhash sketches (ASCII corpus: byte == char
-      // grams); hashed to longs so the pair joins never carry strings
-      val grams = normed.where(length(col("nt")) >= 4)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, length(nt)-3), i -> substring(nt, i, 4)))")).as("gram"))
+      // distinct char-4-grams hashed to longs so the pair joins never
+      // carry strings (auditGrams is the shared, spec-pinned derivation)
+      val grams = auditGrams(normed)
         .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val cands = docCandidates(s, d)
@@ -976,7 +1002,9 @@ object Queries {
          |grams AS (
          |  SELECT DISTINCT doc_id, substr(nt, i::INT, 4) AS gram
          |  FROM (SELECT doc_id, nt, unnest(range(1, length(nt)-2)) AS i
-         |        FROM nt WHERE length(nt) >= 4)),
+         |        FROM nt WHERE length(nt) >= 4)
+         |  UNION ALL
+         |  SELECT doc_id, nt AS gram FROM nt WHERE length(nt) BETWEEN 1 AND 3),
          |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
          |cmn AS (
          |  SELECT c.a, c.b, count(*) AS c
@@ -1031,7 +1059,9 @@ object Queries {
     // in document length; the pair set is the d03 dump (itself
     // oracle-verified)
     "t05_substring_pairs" -> { (s, d) =>
-      val pairs = dumpDerived(s, d, "t05_pairs")(docCandidates(s, d))
+      // docCandidates is itself a dumpDerived("doc_candidates") — the
+      // oracle reads that dump directly; no second byte-identical copy
+      val pairs = docCandidates(s, d)
       val docs = t(s, d, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 120).as("tp"))
       pairs
@@ -1089,7 +1119,7 @@ object Queries {
     // the longest common substring. The engine's suffix array is never
     // consulted.
     "t05_substring_pairs" ->
-      s"""WITH cand AS (SELECT a, b FROM read_parquet(${oraclePath("t05_pairs")})),
+      s"""WITH cand AS (SELECT a, b FROM read_parquet(${oraclePath("doc_candidates")})),
         |docs AS (SELECT doc_id, substring(text, 1, 120) AS tp FROM documents),
         |pa AS (SELECT c.a, c.b, da.tp AS ta, db.tp AS tb
         |       FROM cand c JOIN docs da ON da.doc_id = c.a
@@ -1928,10 +1958,7 @@ object Queries {
       dots.join(norms.select(col("name").as("a"), col("n2").as("n2a")), "a")
         .join(norms.select(col("name").as("b"), col("n2").as("n2b")), "b")
         .select(col("a"), col("b"),
-          // published sourmash angular similarity: 1 − 2·acos(ρ)/π, not
-          // the raw cosine (MinHash.angularSimilarity is the kernel twin)
-          round(lit(1.0) - lit(2.0) * acos(col("dot") / sqrt(col("n2a") * col("n2b")))
-            / lit(math.Pi), 6).as("angular_sim"))
+          angularSimCol(col("dot"), col("n2a"), col("n2b")).as("angular_sim"))
     })
 
   /**
@@ -2062,7 +2089,7 @@ object Queries {
         |  FROM g x JOIN g y ON x.u = y.u AND x.name < y.name
         |  GROUP BY 1, 2)
         |SELECT a, b,
-        |       round(1 - 2 * acos(d / sqrt(nx.n2 * ny.n2)) / pi(), 6) AS angular_sim
+        |       round(1 - 2 * acos(least(1, greatest(-1, d / sqrt(nx.n2 * ny.n2)))) / pi(), 6) AS angular_sim
         |FROM dot
         |JOIN norm nx ON nx.name = dot.a
         |JOIN norm ny ON ny.name = dot.b""".stripMargin,

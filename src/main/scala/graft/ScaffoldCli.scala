@@ -98,7 +98,7 @@ object ScaffoldCli {
       b.result()
     }
     val leaves = {
-      val it = root.path("leaves").fields()
+      val it = root.path("leaves").properties().iterator()
       val b = Seq.newBuilder[(Long, String, String, String)]
       while (it.hasNext) {
         val e = it.next()
@@ -184,7 +184,7 @@ object ScaffoldCli {
     var round = List.empty[BTree]
     while (datasets.nonEmpty) {
       val next = datasets.remove(datasets.length - 1)
-      val el = scala.collection.mutable.HashSet(minsByPath(next): _*)
+      val el = scala.collection.mutable.HashSet.from(minsByPath(next))
       val tree =
         if (datasets.isEmpty) BNode(el, BLeaf(next), BEmpty)
         else {

@@ -111,7 +111,8 @@ object GraftFunctions {
    * Image MinHash sketch: decode → coarse-normalize pixels → byte-shingle
    * → bottom-num mins. Unknown formats fall back to raw-byte shingles (the
    * multimodal stub path — real deployments plug a decoder there).
-   * Native codegen'd expression (null bytes/fmt → empty sketch).
+   * Native codegen'd expression. Null bytes → empty sketch; null fmt is
+   * treated as an unknown format (raw-byte fallback sketch), not empty.
    */
   def imageMinhash(bytes: Column, fmt: Column, cfg: SketchConfig, stride: Int = 4): Column =
     // fmt null-coalesced BEFORE the expression: BinaryExpression

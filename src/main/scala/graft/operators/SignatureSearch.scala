@@ -42,9 +42,11 @@ object SignatureSearch {
       case "similarity" =>
         udf((mins: Seq[Long]) => MinHash.compare(requireMins(mins), q, localCfg))
       case "containment" =>
-        udf((mins: Seq[Long]) =>
-          if (requireMins(mins).isEmpty) 0.0
-          else MinHash.countCommon(mins.toArray, q).toDouble / mins.length)
+        udf((mins: Seq[Long]) => {
+          val m = requireMins(mins)
+          if (m.isEmpty) 0.0
+          else MinHash.countCommon(m, q).toDouble / m.length
+        })
       case "abundance" =>
         // published-sourmash `similarity(ignore_abundance=False)` =
         // angular similarity (1 − 2·acos(ρ)/π, published sourmash

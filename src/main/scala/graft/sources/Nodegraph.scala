@@ -193,11 +193,20 @@ final class Nodegraph(
   }
 
   /** Serialize in the OXLI v4 layout (`nodegraph.rs:98-128`): byte-exact
-    * round-trip with the reference fixtures (prime tablesizes). */
+    * round-trip with the reference fixtures (prime tablesizes).
+    *
+    * Single-buffer serialization is capped at 2 GiB (JVM array limit) —
+    * in-memory graphs can be larger ([[LongBitSet]] holds ~1.37e11 bits);
+    * fail fast with the range instead of wrapping the byte count
+    * negative. Larger graphs stream per-table via
+    * [[LongBitSet.toByteArray]] chunks. */
   def toBytes: Array[Byte] = {
-    val nBytes = tableSizes.map(s => (s / 8 + 1).toInt)
-    val total = 4 + 1 + 1 + 4 + 1 + 8 + tableSizes.length * 8 + nBytes.sum
-    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    val nBytes = tableSizes.map(s => s / 8 + 1)
+    val total = 4L + 1 + 1 + 4 + 1 + 8 + tableSizes.length * 8L + nBytes.sum
+    require(total <= Int.MaxValue,
+      s"nodegraph serializes to $total bytes, over the 2 GiB single-buffer " +
+        "cap; write tables individually for graphs this large")
+    val bb = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
     bb.put("OXLI".getBytes("US-ASCII"))
     bb.put(4.toByte).put(2.toByte)
     bb.putInt(ksize)
@@ -206,7 +215,7 @@ final class Nodegraph(
     var t = 0
     while (t < tables.length) {
       bb.putLong(tableSizes(t))
-      bb.put(tables(t).toByteArray(nBytes(t))) // LSB-first, zero-padded
+      bb.put(tables(t).toByteArray(nBytes(t).toInt)) // LSB-first, zero-padded
       t += 1
     }
     bb.array()
@@ -232,8 +241,11 @@ object Nodegraph {
     while (t < nTables) {
       val size = bb.getLong()
       sizes(t) = size
-      val nBytes = (size / 8 + 1).toInt
-      val raw = new Array[Byte](nBytes)
+      val nBytesL = size / 8 + 1
+      require(nBytesL > 0 && nBytesL <= bb.remaining(),
+        s"nodegraph header claims a table of $nBytesL bytes but only " +
+          s"${bb.remaining()} remain in the buffer")
+      val raw = new Array[Byte](nBytesL.toInt)
       bb.get(raw)
       tables(t) = LongBitSet.fromLittleEndianBytes(size, raw)
       t += 1

@@ -64,6 +64,50 @@ class QueriesSpec extends AnyFunSuite {
     assert(viaSql === hostile.map(graft.core.Shingles.normalizeText))
   }
 
+  test("d15 gram universe: short texts keep their whole-string gram like the kernel") {
+    import spark.implicits._
+    // sub-gram-width, exact-width, hostile-whitespace-only, and empty
+    // texts; the kernel sketches "ab" as one whole-string shingle and
+    // "" as nothing (Shingles.charShingleHashes) — the audit's gram
+    // derivation must agree or short candidate endpoints vanish
+    val docs = Seq((1L, "ab"), (2L, "abcd"), (3L, " \t\n"), (4L, ""), (5L, "abcde"))
+      .toDF("doc_id", "text")
+    val normed = docs.select(col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("nt"))
+    val got = Queries.auditGrams(normed).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(got.get(1L).contains(Set("ab")))
+    assert(got.get(2L).contains(Set("abcd")))
+    assert(!got.contains(3L) && !got.contains(4L)) // empty after normalize
+    assert(got.get(5L).contains(Set("abcd", "bcde")))
+    // parity with the kernel's own universe on every row
+    for ((id, text) <- Seq(1L -> "ab", 2L -> "abcd", 5L -> "abcde")) {
+      val nt = graft.core.Shingles.normalizeText(text)
+      val kernel = if (nt.isEmpty) Set.empty[String]
+        else if (nt.length < 4) Set(nt) else nt.sliding(4).toSet
+      assert(got.getOrElse(id, Set.empty) === kernel, s"doc $id")
+    }
+  }
+
+  test("sm07 angular scoring clamps fp round-up past ρ=1 to similarity 1.0, never NaN") {
+    import spark.implicits._
+    val rows = Seq(
+      (1.0000001, 1.0, 1.0), // ρ > 1 by construction: unclamped acos → NaN
+      (3.0, 3.0, 3.0),       // identical vectors: dot = n2a = n2b
+      (0.0, 2.0, 5.0),       // orthogonal: acos(0) → sim 0
+      (-4.0, 4.0, 4.0))      // opposite: ρ = −1 → sim −1
+      .toDF("dot", "n2a", "n2b")
+    val got = rows.select(
+        Queries.angularSimCol(col("dot"), col("n2a"), col("n2b")).as("s"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(!got.exists(_.isNaN), s"NaN leaked through the clamp: $got")
+    assert(got === Seq(1.0, 1.0, 0.0, -1.0))
+    // kernel twin agrees on the identical-sketch case
+    val mins = Array(11L, 22L, 33L)
+    val ab = Array(2L, 5L, 7L)
+    assert(graft.core.MinHash.angularSimilarity(mins, ab, mins, ab) === 1.0)
+  }
+
   test("t06 unigram logprob: a hand-rolled corpus model reproduces one doc's score") {
     val out = SparkEntry.queries("t06_unigram_logprob")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap

@@ -101,6 +101,27 @@ class NodegraphSpec extends AnyFunSuite {
     assert(ng.occupiedBins === before)
   }
 
+  test("fromBytes rejects a forged header whose tablesize overruns the buffer") {
+    val ng = Nodegraph.empty(Array(97L, 89L), 3)
+    ng.count(42L)
+    val bytes = ng.toBytes
+    assert(Nodegraph.fromBytes(bytes).tableSizes.toSeq === Seq(97L, 89L))
+    // header: OXLI(4) ver(1) ht_type(1) ksize(4) ntables(1) occupied(8),
+    // then the first table's size as a little-endian long at offset 19.
+    // Forge it to a multi-GB claim: the old (size/8+1).toInt wrapped this
+    // negative and threw NegativeArraySizeException; the guard must fail
+    // fast with the explicit range message instead
+    val forged = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(forged).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(19, 30000000000L)
+    val e = intercept[IllegalArgumentException](Nodegraph.fromBytes(forged))
+    assert(e.getMessage.contains("claims a table"))
+    // and a claim that merely overruns the (small) remaining buffer
+    bb.putLong(19, 100000L)
+    val e2 = intercept[IllegalArgumentException](Nodegraph.fromBytes(forged))
+    assert(e2.getMessage.contains("claims a table"))
+  }
+
   test("SBT v5 root bloom has no false negatives over all leaf hashes") {
     assume(new java.io.File(s"$data/.sbt.v5/internal.0").isFile)
     val spark = graft.operators.SparkTestSession.spark
