@@ -494,9 +494,87 @@ object Queries {
         .groupBy(col("doc_id")).agg(
           count(lit(1)).as("n_tokens"),
           round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    },
+    // BPE-ish regex tokenization (the GPT-2 pre-tokenizer family,
+    // ASCII-simplified): contractions | space?+letter-run | space?+digit-
+    // run | space?+punct-run | residual whitespace. Pure per-row codegen'd
+    // regex — no shuffle, embarrassingly parallel at any scale. The
+    // BPE-per-word fertility ratio is the standard tokenizer-cost signal
+    // a training pipeline budgets by.
+    "t07_bpe_tokens" -> { (s, d) =>
+      val bpeRe = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+|\\s+"
+      // the corpus is pure lowercase word soup (fertility would be
+      // identically 1.0), so a fixed mixed-token suffix — mirrored in
+      // the oracle — exercises every branch: contraction split,
+      // digit-runs, punctuation-runs ("it's test-case 3.14 x42" is 4
+      // whitespace tokens but 10 BPE-ish tokens)
+      val aug = concat(col("text"), lit(" it's test-case 3.14 x42"))
+      t(s, d, "documents").select(col("doc_id"),
+          regexp_count(aug, lit(bpeRe)).as("n_bpe"),
+          size(filter(split(aug, " "), x => x =!= "")).as("n_ws"))
+        .withColumn("fertility",
+          round(col("n_bpe") * lit(1.0) / greatest(col("n_ws"), lit(1)), 6))
+    },
+    // PII detection/redaction stats: the corpus carries no PII, so a
+    // deterministic augmentation (derived purely from doc_id, mirrored
+    // in the oracle) plants synthetic emails/phones first — the operator
+    // under test is the detect/redact pass, which is again pure per-row
+    // codegen'd regex work with no shuffle.
+    "t08_pii_redact" -> { (s, d) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "555-[0-9]{4}"
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact me at user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-0"),
+            lpad((col("doc_id") % 100).cast("string"), 3, "0")))
+          .otherwise(lit("")))
+      t(s, d, "documents").select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("aug"), lit(phoneRe)).as("n_phones"),
+          length(col("aug")).as("raw_len"),
+          length(regexp_replace(regexp_replace(col("aug"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]")).as("redacted_len"))
     })
 
   private val textOracles: Map[String, String] = Map(
+    // the doubled '' is a single quote inside the DuckDB string literal;
+    // RE2 and Java regex agree on every construct used here
+    "t07_bpe_tokens" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' it''s test-case 3.14 x42' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) AS n_bpe,
+        |  len(list_filter(string_split(aug, ' '), x -> x != '')) AS n_ws,
+        |  round(len(regexp_extract_all(aug,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+')) * 1.0 /
+        |    greatest(len(list_filter(string_split(aug, ' '), x -> x != '')), 1),
+        |    6) AS fertility
+        |FROM aug""".stripMargin,
+    "t08_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact me at user' || doc_id || '@example.com now'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' call 555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+        |      ELSE '' END AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(aug, '555-[0-9]{4}')) AS n_phones,
+        |  length(aug) AS raw_len,
+        |  length(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_len
+        |FROM aug""".stripMargin,
     "t01_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
