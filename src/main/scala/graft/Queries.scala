@@ -538,6 +538,22 @@ object Queries {
           length(col("aug")).as("raw_len"),
           length(regexp_replace(regexp_replace(col("aug"), emailRe, "[EMAIL]"),
             phoneRe, "[PHONE]")).as("redacted_len"))
+    },
+    // Deterministic stratified sampling — the data-mixing primitive: an
+    // exact per-(lang, source) quota drawn by ranking on md5(doc_id), a
+    // seed-free order both engines reproduce bit-for-bit (hex strings
+    // compare identically). One shuffle on the stratum key; quotas are
+    // exact, re-runs and retries select the same rows. At 10^12 rows a
+    // handful of strata makes the in-stratum sort the skew surface — the
+    // production variant pre-filters on a per-stratum hash threshold
+    // (from a broadcast counts agg) to oversample ~quota rows before
+    // this exact ranking; the q11 salting pattern applies unchanged.
+    "t09_stratified_sample" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
     })
 
   private val textOracles: Map[String, String] = Map(
@@ -575,6 +591,13 @@ object Queries {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
         |    '555-[0-9]{4}', '[PHONE]', 'g')) AS redacted_len
         |FROM aug""".stripMargin,
+    "t09_stratified_sample" ->
+      """SELECT doc_id, lang, source, rk FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3""".stripMargin,
     "t01_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
