@@ -437,10 +437,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(!assignPlan.contains("CartesianProduct"), assignPlan)
     assert(assignPlan.contains("BroadcastNestedLoopJoin"), assignPlan)
     assert(assignPlan.contains("WindowGroupLimit"), assignPlan)
-    // search (the registered query, assignment dumped): the flop pass
-    // must NOT reappear — only equi-joins against the materialized
-    // inverted file, with the rerank top-k pushed below the final shuffle
-    val searchPlan = SparkEntry.queries("e04_ivf_topk")(spark, sf)
+    // search (the live pipeline pre-dump — the registered query
+    // memoizes its result to parquet for the e06 audit, which would
+    // show a plain scan here): the flop pass must NOT reappear — only
+    // equi-joins against the materialized inverted file, with the
+    // rerank top-k pushed below the final shuffle
+    val searchPlan = Queries.ivfTopK(spark, sf, dumpResult = false)
       .queryExecution.executedPlan.toString
     assert(!searchPlan.contains("CartesianProduct"), searchPlan)
     assert(!searchPlan.contains("BroadcastNestedLoopJoin"), searchPlan)
