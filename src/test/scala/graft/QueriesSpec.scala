@@ -449,6 +449,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(searchPlan.contains("WindowGroupLimit"), searchPlan)
   }
 
+  test("t09 plan: one stratum exchange, rank limit pushed below the window") {
+    val df = SparkEntry.queries("t09_stratified_sample")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // WindowGroupLimit prunes each stratum to the quota before the full
+    // window rank materializes; exactly one shuffle (on the stratum key)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("Exchange".r.findAllIn(plan).length <= 2, plan) // partial+final limit share one exchange
+    // determinism: the same rows come back from a re-run
+    val a = df.collect().map(_.toString).sorted.toSeq
+    val b = SparkEntry.queries("t09_stratified_sample")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    // quota honored per stratum
+    val per = df.collect().groupBy(r => (r.getString(1), r.getString(2)))
+    per.foreach { case (k, rows) => assert(rows.length <= 3, k) }
+  }
+
   test("d06 clusters: every confirmed d04 pair lands in one cluster") {
     val assign = SparkEntry.queries("d06_doc_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
