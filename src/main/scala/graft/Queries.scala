@@ -1487,6 +1487,32 @@ object Queries {
           max(col("st._3")).as("max_mean_px"),
           countDistinct(col("phash")).as("n_phash"))
     },
+    // multimodal RESIZE: decode → nearest-neighbor 8×8 grayscale
+    // thumbnail (ImageCodec.thumbnail — integer BT.601 luma, platform-
+    // deterministic) → per-format stats over the grids. The thumbnail is
+    // the standard pre-embedding normalization step; like m02, the
+    // per-row work is inherently JVM decode+resample (a UDF by nature),
+    // and the oracle is the regression-frozen constant table
+    // OracleDerivationSpec re-derives on every test run.
+    "m04_thumbnail_stats" -> { (s, d) =>
+      val thumb = udf((bytes: Array[Byte], fmt: String) =>
+        ImageCodec.decode(bytes, fmt) match {
+          case Some(dec) =>
+            val g = ImageCodec.thumbnail(dec, 8)
+            (g.sum.toLong / g.length, g.min.toLong, g.max.toLong,
+              g.mkString(","))
+          case None => (-1L, -1L, -1L, "") // stub path: undecodable format
+        })
+      SyntheticCorpus.corpus(s, corpusRows(d)).toDF()
+        .withColumn("th", thumb(col("bytes"), col("fmt")))
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n"),
+          min(col("th._1")).as("min_mean_luma"),
+          max(col("th._1")).as("max_mean_luma"),
+          min(col("th._2")).as("min_luma"),
+          max(col("th._3")).as("max_luma"),
+          countDistinct(col("th._4")).as("n_grids"))
+    },
     // resumable pipeline: checkpoint/lineage table (north_rule); returns
     // the per-stage lineage metrics of a checkpointed flagship run
     "m03_checkpointed_lineage" -> { (s, d) =>
@@ -1517,6 +1543,14 @@ object Queries {
     ("png", 30L, 104L, 152L, 30L),
     ("ppm", 4865L, 87L, 169L, 4749L),
     ("ppmq", 73L, 97L, 160L, 73L))
+  // m04 @ n=5000: (fmt, n, min_mean_luma, max_mean_luma, min_luma,
+  // max_luma, n_grids) — same regression-frozen derivation rule as m02
+  val m04Expected: Seq[(String, Long, Long, Long, Long, Long, Long)] = Seq(
+    ("jpg", 32L, 96L, 165L, 30L, 227L, 32L),
+    ("png", 30L, 101L, 164L, 22L, 243L, 30L),
+    ("ppm", 4865L, 71L, 177L, 4L, 251L, 4774L),
+    ("ppmq", 73L, 88L, 163L, 21L, 229L, 73L))
+
   // m03 @ n=2000: (stage, rows_out)
   // candidates = 1108 under the radius-2 Manku fingerprint keys at
   // joint cap 4 (round 5; the old 16-bit block keys produced 9722 — the
@@ -1535,6 +1569,11 @@ object Queries {
         m02Expected.map { case (f, n, mn, mx, np) =>
           s"  ('$f', $n, $mn, $mx, $np)" }.mkString(",\n") +
         "\n) AS t(fmt, n, min_mean_px, max_mean_px, n_phash)"),
+    "m04_thumbnail_stats" ->
+      ("SELECT * FROM (VALUES\n" +
+        m04Expected.map { case (f, n, mnm, mxm, mn, mx, ng) =>
+          s"  ('$f', $n, $mnm, $mxm, $mn, $mx, $ng)" }.mkString(",\n") +
+        "\n) AS t(fmt, n, min_mean_luma, max_mean_luma, min_luma, max_luma, n_grids)"),
     // clustering tail replicated as a recursive transitive closure over
     // the dumped edge set, then min-image_id relabel + component sizes
     "m01_corpus_dedup_clusters" ->

@@ -44,6 +44,32 @@ object ImageCodec {
 
   final case class Decoded(rgb: Array[Byte], w: Int, h: Int)
 
+  /** Nearest-neighbor k×k grayscale thumbnail of a decoded image — the
+    * multimodal RESIZE primitive (BT.601 integer luma, row-major grid).
+    * Pure integer arithmetic: the same decode yields the same grid on
+    * any platform, so thumbnails are safe inputs to downstream sketches
+    * and oracle constants. */
+  def thumbnail(dec: Decoded, k: Int): Array[Int] = {
+    require(k > 0 && dec.w > 0 && dec.h > 0, "thumbnail needs positive dims")
+    val out = new Array[Int](k * k)
+    var gy = 0
+    while (gy < k) {
+      val sy = math.min(dec.h - 1, gy * dec.h / k)
+      var gx = 0
+      while (gx < k) {
+        val sx = math.min(dec.w - 1, gx * dec.w / k)
+        val p = (sy * dec.w + sx) * 3
+        val r = dec.rgb(p) & 0xff
+        val g = dec.rgb(p + 1) & 0xff
+        val b = dec.rgb(p + 2) & 0xff
+        out(gy * k + gx) = (299 * r + 587 * g + 114 * b) / 1000
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
   /** Decode image bytes by format: `ppm`/`ppmq` via the native parser,
     * `png`/`bmp`/`gif`/`jpg` via `javax.imageio` (real container
     * decoders — decoding a fixed byte stream is deterministic; only

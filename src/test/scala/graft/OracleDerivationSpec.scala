@@ -32,6 +32,21 @@ class OracleDerivationSpec extends AnyFunSuite {
           s"""    ("$f", ${n}L, ${mn}L, ${mx}L, ${np}L)""" }.mkString(",\n"))
   }
 
+  test("m04 frozen oracle constants match a fresh derivation") {
+    val got = Queries.all("m04_thumbnail_stats")(spark, gateDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1).toSeq
+    val frozen = Queries.m04Expected.sortBy(_._1)
+    assert(got === frozen,
+      "\nSyntheticCorpus/ImageCodec changed: RE-DERIVE the frozen m04 oracle.\n" +
+        "Paste into Queries.m04Expected:\n" +
+        got.map { case (f, n, mnm, mxm, mn, mx, ng) =>
+          s"""    ("$f", ${n}L, ${mnm}L, ${mxm}L, ${mn}L, ${mx}L, ${ng}L)""" }
+          .mkString(",\n"))
+  }
+
   test("m03 frozen oracle constants match a fresh derivation") {
     val got = Queries.all("m03_checkpointed_lineage")(spark, gateDir)
       .collect()

@@ -348,4 +348,33 @@ class PipelineSpec extends AnyFunSuite {
     }
     clusters.unpersist()
   }
+
+  test("thumbnail: NN sampling maps quadrants, BT.601 luma, degenerate sizes") {
+    // 2×2 image with four distinct solid pixels: upscaling to 8×8 by
+    // nearest neighbor must tile each source pixel over one 4×4 quadrant
+    val px = Array[Int](
+      255, 0, 0, /* */ 0, 255, 0,
+      0, 0, 255, /* */ 255, 255, 255)
+    val rgb = px.map(_.toByte)
+    val g = ImageCodec.thumbnail(ImageCodec.Decoded(rgb, 2, 2), 8)
+    assert(g.length === 64)
+    def luma(r: Int, gr: Int, b: Int) = (299 * r + 587 * gr + 114 * b) / 1000
+    val expect = Array(luma(255, 0, 0), luma(0, 255, 0), luma(0, 0, 255),
+      luma(255, 255, 255))
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val q = (gy / 4) * 2 + (gx / 4)
+      assert(g(gy * 8 + gx) === expect(q), s"cell ($gy,$gx)")
+    }
+    // downscale: 8×8 gradient to 2×2 picks the NN source pixels exactly
+    val grad = Array.tabulate(8 * 8 * 3)(i => ((i / 3) * 4).toByte)
+    val g2 = ImageCodec.thumbnail(ImageCodec.Decoded(grad, 8, 8), 2)
+    val pick = Seq(0, 4, 32, 36) // (0,0),(0,4),(4,0),(4,4) row-major
+    assert(g2.toSeq === pick.map { p =>
+      val v = (p * 4) & 0xff; luma(v, v, v)
+    })
+    // 1×1 source: every grid cell is that pixel
+    val one = ImageCodec.thumbnail(
+      ImageCodec.Decoded(Array[Byte](100.toByte, 100.toByte, 100.toByte), 1, 1), 8)
+    assert(one.forall(_ === 100))
+  }
 }
