@@ -17,14 +17,21 @@ object PlanAudit {
     val sf = "/root/testdata/sf0.001"
     def dump(name: String): Unit = {
       println(s"\n######## $name ########")
-      SparkEntry.queries(name)(spark, sf).explain("formatted")
+      // e04's registered query memoizes its result to parquet (shared
+      // with the e06 audit) — explain the LIVE search pipeline, not the
+      // read-back scan of the dump
+      val df =
+        if (name == "e04_ivf_topk") Queries.ivfTopK(spark, sf, dumpResult = false)
+        else SparkEntry.queries(name)(spark, sf)
+      df.explain("formatted")
     }
     Seq("q01_filter_project", "q02_agg_group", "q03_join_agg",
       "d02_ngram_jaccard", "d03_minhash_lsh_pairs", "d04_minhash_jaccard_dedup",
       "e02_embedding_pairs", "e03_embedding_lsh_pairs", "e04_ivf_topk",
       "d08_sql_jaccard", "q10_bucketed_join",
       "d13_repeated_ngram_spans", "d14_containment_dedup",
-      "d15_sketch_error_audit", "t06_unigram_logprob").foreach(dump)
+      "d15_sketch_error_audit", "t06_unigram_logprob",
+      "t09_stratified_sample", "e06_ann_recall").foreach(dump)
     spark.stop()
   }
 }

@@ -1244,9 +1244,7 @@ object Queries {
 
   private val embeddings: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k (exactness baseline)
-    "e01_knn_bruteforce" -> { (s, d) =>
-      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
-    },
+    "e01_knn_bruteforce" -> { (s, d) => bruteTopK(s, d) },
     // embedding near-dup pairs, brute force
     "e02_embedding_pairs" -> { (s, d) =>
       Similarity.bruteForcePairs(t(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.45)
@@ -1273,8 +1271,7 @@ object Queries {
     // at 10^9 rows a production tier samples query points; here the
     // table IS the sample.
     "e06_ann_recall" -> { (s, d) =>
-      val bf = Similarity.bruteForceTopK(
-        t(s, d, "embeddings"), "vec_id", "embedding", k = 5)
+      val bf = bruteTopK(s, d) // shared dump with e01 — the O(n²) pass runs once
       val iv = ivfTopK(s, d) // shared dump: computed once per (sfDir, JVM)
       bf.as("bf").join(iv.as("iv"),
           col("bf.vec_id") === col("iv.vec_id") &&
@@ -1317,6 +1314,15 @@ object Queries {
     * the sample bounded. The inverted file is MATERIALIZED (parquet)
     * before search — the assignment flop pass runs once, not once per
     * search-side consumer. */
+  /** Brute-force cosine top-k (quadratic BY DESIGN — the exactness
+    * baseline), dumped once per (sfDir, JVM): e01 returns it and the e06
+    * recall audit reads it as ground truth, so the O(n²) pass runs once
+    * per sweep instead of twice. The e01 oracle still re-derives it from
+    * the raw table. */
+  private def bruteTopK(s: SparkSession, d: String): DataFrame =
+    dumpDerived(s, d, "e01_topk")(
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5))
+
   private[graft] def ivfTopK(s: SparkSession, d: String,
       dumpResult: Boolean = true): DataFrame = {
     val emb = t(s, d, "embeddings")

@@ -457,13 +457,13 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
     assert("Exchange".r.findAllIn(plan).length <= 2, plan) // partial+final limit share one exchange
     // determinism: the same rows come back from a re-run
-    val a = df.collect().map(_.toString).sorted.toSeq
+    val rows = df.collect()
     val b = SparkEntry.queries("t09_stratified_sample")(spark, sf)
       .collect().map(_.toString).sorted.toSeq
-    assert(a === b)
+    assert(rows.map(_.toString).sorted.toSeq === b)
     // quota honored per stratum
-    val per = df.collect().groupBy(r => (r.getString(1), r.getString(2)))
-    per.foreach { case (k, rows) => assert(rows.length <= 3, k) }
+    val per = rows.groupBy(r => (r.getString(1), r.getString(2)))
+    per.foreach { case (k, g) => assert(g.length <= 3, k) }
   }
 
   test("d06 clusters: every confirmed d04 pair lands in one cluster") {

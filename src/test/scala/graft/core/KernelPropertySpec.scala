@@ -62,7 +62,10 @@ class KernelPropertySpec extends AnyFunSuite {
   }
 
   test("downsample composes: m1 then m2 == single min(m1, m2) cut") {
-    val mh = Gen.choose(Long.MinValue, Long.MaxValue)
+    // 0 is the "not scaled" sentinel (downsample is a no-op there), and
+    // it is also the unsigned minimum — the composition law holds only
+    // over real cutoffs, so the generator excludes the sentinel
+    val mh = Gen.choose(Long.MinValue, Long.MaxValue).suchThat(_ != 0L)
     check("downsample", Prop.forAll(minsGen, mh, mh) { (a, m1, m2) =>
       val ab = Array.tabulate(a.length)(i => (i + 1).toLong)
       val (two, twoAb) = {
@@ -72,7 +75,8 @@ class KernelPropertySpec extends AnyFunSuite {
       val mMin =
         if (java.lang.Long.compareUnsigned(m1, m2) <= 0) m1 else m2
       val (one, oneAb) = MinHash.downsample(a, ab, mMin)
-      two.sameElements(one) && twoAb.sameElements(oneAb)
+      two.sameElements(one) && twoAb.sameElements(oneAb) &&
+        MinHash.downsample(a, ab, 0L)._1.sameElements(a) // 0-sentinel: no-op
     })
   }
 
