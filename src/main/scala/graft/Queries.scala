@@ -1457,7 +1457,11 @@ object Queries {
   // ================================================================ m: multimodal corpus
 
   import graft.operators.DedupPipeline
-  import graft.sources.{ImageCodec, SyntheticCorpus}
+  import graft.sources.{ImageCodec, SyntheticCorpus, SyntheticMedia, VideoContainer, WavCodec}
+
+  /** Row count for the video/audio corpora — 5× smaller than the image
+    * corpus (rows are ~20-30 KB vs ~3 KB). */
+  def mediaRows(dir: String): Long = math.max(200L, corpusRows(dir) / 5)
 
   private val multimodal: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the flagship pipeline as a registered operator (north_rule). The
@@ -1519,6 +1523,73 @@ object Queries {
           max(col("th._3")).as("max_luma"),
           countDistinct(col("th._4")).as("n_grids"))
     },
+    // multimodal FRAME-SAMPLE: k=4 uniform frames per clip via header
+    // arithmetic on the seekable GVI1 container — per-row cost is
+    // O(k·frameBytes) regardless of clip length (VideoContainer scaladoc
+    // has the 100-TB byte-range argument). Per-clip work is inherently
+    // JVM decode (a UDF by nature, like m02/m04); everything around it is
+    // a narrow map + one partial-aggregated groupBy on a 3-value key.
+    // Oracle: regression-frozen constants, re-derived by
+    // OracleDerivationSpec on every test run.
+    "m05_frame_sample" -> { (s, d) =>
+      val k = 4
+      val stats = udf((bytes: Array[Byte]) =>
+        VideoContainer.header(bytes) match {
+          case Some(hd) =>
+            val means = VideoContainer.sampleIndices(hd.nframes, k).map { i =>
+              val fr = VideoContainer.frame(bytes, hd, i)
+              var sum = 0L; var j = 0
+              while (j < fr.length) { sum += (fr(j) & 0xff); j += 1 }
+              sum / fr.length
+            }
+            // clip fingerprint over the sampled trajectory: frame count +
+            // the k means — the cheap pre-embedding dedup key for video
+            val fp = graft.core.Murmur3.hash64(
+              means.mkString(","), hd.nframes.toLong)
+            (means.sum / means.length, means.min, means.max, fp)
+          case None => (-1L, -1L, -1L, 0L) // undecodable container
+        })
+      SyntheticMedia.videos(s, mediaRows(d)).toDF()
+        .withColumn("st", stats(col("bytes")))
+        .groupBy(col("fps"))
+        .agg(count(lit(1)).as("n"),
+          min(col("st._1")).as("min_mean_luma"),
+          max(col("st._1")).as("max_mean_luma"),
+          countDistinct(col("st._4")).as("n_clip_fp"))
+    },
+    // multimodal AUDIO decode + feature extraction: real RIFF/WAVE chunk
+    // walk (WavCodec — handles foreign chunks, returns None per-row on
+    // non-PCM16 input so a corpus scan never fails per-job), then
+    // RMS/peak/zero-crossing stats grouped by sample rate. Same frozen-
+    // constant oracle discipline as m02/m04/m05.
+    "m06_audio_stats" -> { (s, d) =>
+      val stats = udf((bytes: Array[Byte]) =>
+        WavCodec.decode(bytes) match {
+          case Some(w) =>
+            var sumSq = 0.0; var peak = 0L; var zc = 0L
+            var i = 0
+            var prevNeg = false
+            while (i < w.samples.length) {
+              val v = w.samples(i).toLong
+              sumSq += v.toDouble * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              val neg = v < 0
+              if (i > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            (math.sqrt(sumSq / w.samples.length).toLong, peak, zc)
+          case None => (-1L, -1L, -1L) // undecodable/non-PCM16 input
+        })
+      SyntheticMedia.audios(s, mediaRows(d)).toDF()
+        .withColumn("st", stats(col("bytes")))
+        .groupBy(col("sample_rate"))
+        .agg(count(lit(1)).as("n"),
+          min(col("st._1")).as("min_rms"),
+          max(col("st._1")).as("max_rms"),
+          max(col("st._2")).as("max_peak"),
+          sum(col("st._3")).as("sum_zero_cross"))
+    },
     // resumable pipeline: checkpoint/lineage table (north_rule); returns
     // the per-stage lineage metrics of a checkpointed flagship run
     "m03_checkpointed_lineage" -> { (s, d) =>
@@ -1557,6 +1628,19 @@ object Queries {
     ("ppm", 4865L, 71L, 177L, 4L, 251L, 4774L),
     ("ppmq", 73L, 88L, 163L, 21L, 229L, 73L))
 
+  // m05 @ n=1000 clips: (fps, n, min_mean_luma, max_mean_luma, n_clip_fp)
+  // — same regression-frozen derivation rule as m02/m04
+  val m05Expected: Seq[(Int, Long, Long, Long, Long)] = Seq(
+    (10, 331L, 69L, 188L, 331L),
+    (24, 312L, 59L, 179L, 312L),
+    (30, 357L, 67L, 188L, 356L))
+  // m06 @ n=1000 rows: (sample_rate, n, min_rms, max_rms, max_peak,
+  // sum_zero_cross) — same regression-frozen derivation rule
+  val m06Expected: Seq[(Int, Long, Long, Long, Long, Long)] = Seq(
+    (8000, 340L, 4543L, 9343L, 18081L, 342753L),
+    (16000, 325L, 4537L, 9307L, 18035L, 181442L),
+    (44100, 335L, 4742L, 9310L, 17889L, 77722L))
+
   // m03 @ n=2000: (stage, rows_out)
   // candidates = 1108 under the radius-2 Manku fingerprint keys at
   // joint cap 4 (round 5; the old 16-bit block keys produced 9722 — the
@@ -1580,6 +1664,16 @@ object Queries {
         m04Expected.map { case (f, n, mnm, mxm, mn, mx, ng) =>
           s"  ('$f', $n, $mnm, $mxm, $mn, $mx, $ng)" }.mkString(",\n") +
         "\n) AS t(fmt, n, min_mean_luma, max_mean_luma, min_luma, max_luma, n_grids)"),
+    "m05_frame_sample" ->
+      ("SELECT * FROM (VALUES\n" +
+        m05Expected.map { case (f, n, mn, mx, nf) =>
+          s"  ($f, $n, $mn, $mx, $nf)" }.mkString(",\n") +
+        "\n) AS t(fps, n, min_mean_luma, max_mean_luma, n_clip_fp)"),
+    "m06_audio_stats" ->
+      ("SELECT * FROM (VALUES\n" +
+        m06Expected.map { case (r, n, mn, mx, pk, zc) =>
+          s"  ($r, $n, $mn, $mx, $pk, $zc)" }.mkString(",\n") +
+        "\n) AS t(sample_rate, n, min_rms, max_rms, max_peak, sum_zero_cross)"),
     // clustering tail replicated as a recursive transitive closure over
     // the dumped edge set, then min-image_id relabel + component sizes
     "m01_corpus_dedup_clusters" ->

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One synthetic clip: opaque seekable container bytes + typed metadata
+  * (the multimodal-column contract: binary payload, queryable header). */
+final case class VideoRow(
+    video_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fps: Int,
+    nframes: Int,
+    title: String)
+
+/** One synthetic audio row: RIFF/WAVE PCM16 bytes + typed metadata. */
+final case class AudioRow(
+    audio_id: String,
+    bytes: Array[Byte],
+    sample_rate: Int,
+    n_samples: Int)
+
+/**
+ * Deterministic synthetic video/audio corpora (seed 42 via
+ * [[SyntheticCorpus.Prg]]) for the multimodal frame-sample and
+ * audio-decode primitives.
+ *
+ * Same scale design as [[SyntheticCorpus]]: every row is a pure function
+ * of its `id`, so generation is a narrow `map` over `spark.range(n)` —
+ * no shuffle, no driver loop, linear in rows and executors.
+ *
+ * Videos animate the image generator's low-frequency field: each 4×4
+ * gray cell gets a per-clip velocity and drifts linearly across frames
+ * (clamped), then bilinear-upsamples to 32×32 with per-frame noise — so
+ * frame means move over a clip and frame-sampling has signal to measure.
+ * Audio is two summed sines (per-row frequencies/amplitudes) plus noise,
+ * synthesized with `StrictMath.sin` so the samples are bit-identical on
+ * every JVM/platform (java.lang.Math.sin may use platform intrinsics).
+ */
+object SyntheticMedia {
+
+  import SyntheticCorpus.Prg
+
+  val W = 32
+  val H = 32
+  private val FPS = Array(10, 24, 30)
+  private val RATES = Array(8000, 16000, 44100)
+
+  /** Gray 4×4 field → W×H bilinear upsample + ±8 per-pixel noise. */
+  private def upsample(field: Array[Int], r: Prg): Array[Byte] = {
+    val g = 4
+    val out = new Array[Byte](W * H)
+    var y = 0
+    while (y < H) {
+      val fy = y.toDouble * (g - 1) / (H - 1)
+      val y0 = fy.toInt; val wy = fy - y0; val y1 = math.min(y0 + 1, g - 1)
+      var x = 0
+      while (x < W) {
+        val fx = x.toDouble * (g - 1) / (W - 1)
+        val x0 = fx.toInt; val wx = fx - x0; val x1 = math.min(x0 + 1, g - 1)
+        val interp = field(y0 * g + x0) * (1 - wy) * (1 - wx) +
+          field(y0 * g + x1) * (1 - wy) * wx +
+          field(y1 * g + x0) * wy * (1 - wx) +
+          field(y1 * g + x1) * wy * wx
+        val v = math.max(0, math.min(255, interp.toInt + r.nextInt(17) - 8))
+        out(y * W + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Build one clip (pure function of id): 8–32 frames of a drifting
+    * field, fps ∈ {10, 24, 30}. ≤ ~33 KB per row. */
+  def genVideo(id: Long): VideoRow = {
+    val r = new Prg(id, "vid")
+    val fps = FPS(r.nextInt(FPS.length))
+    val nframes = 8 + r.nextInt(25)
+    val base = Array.fill(16)(r.nextInt(256))
+    val vel = Array.fill(16)(r.nextInt(13) - 6)
+    val frames = (0 until nframes).map { f =>
+      val field = Array.tabulate(16)(c =>
+        math.max(0, math.min(255, base(c) + vel(c) * f)))
+      upsample(field, new Prg(id, s"vframe:$f"))
+    }
+    VideoRow(s"vid_$id", VideoContainer.encode(W, H, fps, frames),
+      W, H, fps, nframes, s"clip of ${SyntheticCorpus.genCaption(id)}")
+  }
+
+  /** Build one audio row (pure function of id): 2048–8191 PCM16 samples
+    * of two sines + noise at rate ∈ {8, 16, 44.1} kHz. ≤ 16 KB per row. */
+  def genAudio(id: Long): AudioRow = {
+    val r = new Prg(id, "aud")
+    val rate = RATES(r.nextInt(RATES.length))
+    val n = 2048 + r.nextInt(6144)
+    val f1 = 100 + r.nextInt(900)
+    val f2 = 1000 + r.nextInt(3000)
+    val a1 = 6000 + r.nextInt(6000)
+    val a2 = 2000 + r.nextInt(4000)
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / rate
+      val v = a1 * StrictMath.sin(2 * math.Pi * f1 * t) +
+        a2 * StrictMath.sin(2 * math.Pi * f2 * t) +
+        (r.nextInt(1025) - 512)
+      samples(i) = math.max(Short.MinValue, math.min(Short.MaxValue, v.toInt)).toShort
+      i += 1
+    }
+    AudioRow(s"aud_$id", WavCodec.encodePcm16(samples, rate), rate, n)
+  }
+
+  def videos(spark: SparkSession, nTotal: Long): Dataset[VideoRow] = {
+    import spark.implicits._
+    spark.range(nTotal).map(r => genVideo(r))
+  }
+
+  def audios(spark: SparkSession, nTotal: Long): Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.range(nTotal).map(r => genAudio(r))
+  }
+}

@@ -47,6 +47,33 @@ class OracleDerivationSpec extends AnyFunSuite {
           .mkString(",\n"))
   }
 
+  test("m05 frozen oracle constants match a fresh derivation") {
+    val got = Queries.all("m05_frame_sample")(spark, gateDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val frozen = Queries.m05Expected.sortBy(_._1)
+    assert(got === frozen,
+      "\nSyntheticMedia/VideoContainer changed: RE-DERIVE the frozen m05 oracle.\n" +
+        "Paste into Queries.m05Expected:\n" +
+        got.map { case (f, n, mn, mx, nf) =>
+          s"""    ($f, ${n}L, ${mn}L, ${mx}L, ${nf}L)""" }.mkString(",\n"))
+  }
+
+  test("m06 frozen oracle constants match a fresh derivation") {
+    val got = Queries.all("m06_audio_stats")(spark, gateDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    val frozen = Queries.m06Expected.sortBy(_._1)
+    assert(got === frozen,
+      "\nSyntheticMedia/WavCodec changed: RE-DERIVE the frozen m06 oracle.\n" +
+        "Paste into Queries.m06Expected:\n" +
+        got.map { case (r0, n, mn, mx, pk, zc) =>
+          s"""    ($r0, ${n}L, ${mn}L, ${mx}L, ${pk}L, ${zc}L)""" }.mkString(",\n"))
+  }
+
   test("m03 frozen oracle constants match a fresh derivation") {
     val got = Queries.all("m03_checkpointed_lineage")(spark, gateDir)
       .collect()
