@@ -1590,6 +1590,54 @@ object Queries {
           max(col("st._2")).as("max_peak"),
           sum(col("st._3")).as("sum_zero_cross"))
     },
+    // VIDEO near-dup pairs: the frame-sample primitive composed into a
+    // dedup tier. Per clip: k=4 sampled-frame phashes (header arithmetic,
+    // O(k) per row — the ONLY per-row kernel work) → d05's pigeonhole
+    // banding (8×8-bit blocks: any frame pair within Hamming 7 shares a
+    // block) over ONE bucket shuffle with the Lsh hot-bucket cap → k×k
+    // min-Hamming confirm ≤ 7. Catches the injected trim/renoise/refps
+    // republications (measured: dup pairs sit at Hamming ≤ 1; the random
+    // background floor is 8 — QueriesSpec asserts recall 1.0 vs ground
+    // truth). Scale shape: never all-pairs; candidates are bucket-local;
+    // the confirm joins a k-row-per-clip table, not clip payloads. The
+    // phash dump makes banding + confirm SQL-replicable by the oracle.
+    "m07_clip_neardup_pairs" -> { (s, d) =>
+      val k = 4
+      val phashes = udf((bytes: Array[Byte]) =>
+        VideoContainer.header(bytes) match {
+          case Some(hd) =>
+            VideoContainer.sampleIndices(hd.nframes, k).zipWithIndex.map {
+              case (fi, slot) =>
+                val g = VideoContainer.frame(bytes, hd, fi)
+                // gray → rgb triplicate: BT.601 luma of (g,g,g) is g, so
+                // phash64's weighting is exact on grayscale frames
+                val rgb = new Array[Byte](g.length * 3)
+                var j = 0
+                while (j < g.length) {
+                  rgb(3 * j) = g(j); rgb(3 * j + 1) = g(j); rgb(3 * j + 2) = g(j)
+                  j += 1
+                }
+                (slot, ImageCodec.phash64(rgb, hd.w, hd.h))
+            }.toSeq
+          case None => Seq.empty[(Int, Long)]
+        })
+      val ph = dumpDerived(s, d, "m07_frame_phash")(
+        graft.sources.SyntheticMedia.videos(s, mediaRows(d)).toDF()
+          .select(col("video_id"), explode(phashes(col("bytes"))).as("fp"))
+          .select(col("video_id"), col("fp._1").as("slot"), col("fp._2").as("phash")))
+      // distinct (clip, block) rows: a clip's similar frames sharing a
+      // block must not inflate the bucket count or pair a clip with itself
+      val banded = Lsh.explodeBands(
+        ph.select(col("video_id").as("id"),
+          GraftFunctions.fingerprintBands(col("phash"), 8).as("bk")),
+        "id", "bk", sourceTag = 13).distinct()
+      Lsh.candidatePairs(banded, maxBucket = 64)
+        .join(ph.select(col("video_id").as("a"), col("phash").as("pa")), "a")
+        .join(ph.select(col("video_id").as("b"), col("phash").as("pb")), "b")
+        .groupBy(col("a"), col("b"))
+        .agg(min(GraftFunctions.hamming64(col("pa"), col("pb"))).as("min_hamming"))
+        .where(col("min_hamming") <= 7)
+    },
     // resumable pipeline: checkpoint/lineage table (north_rule); returns
     // the per-stage lineage metrics of a checkpointed flagship run
     "m03_checkpointed_lineage" -> { (s, d) =>
@@ -1631,9 +1679,9 @@ object Queries {
   // m05 @ n=1000 clips: (fps, n, min_mean_luma, max_mean_luma, n_clip_fp)
   // — same regression-frozen derivation rule as m02/m04
   val m05Expected: Seq[(Int, Long, Long, Long, Long)] = Seq(
-    (10, 331L, 69L, 188L, 331L),
-    (24, 312L, 59L, 179L, 312L),
-    (30, 357L, 67L, 188L, 356L))
+    (10, 329L, 69L, 188L, 326L),
+    (24, 307L, 59L, 179L, 302L),
+    (30, 364L, 67L, 188L, 352L))
   // m06 @ n=1000 rows: (sample_rate, n, min_rms, max_rms, max_peak,
   // sum_zero_cross) — same regression-frozen derivation rule
   val m06Expected: Seq[(Int, Long, Long, Long, Long, Long)] = Seq(
@@ -1674,6 +1722,28 @@ object Queries {
         m06Expected.map { case (r, n, mn, mx, pk, zc) =>
           s"  ($r, $n, $mn, $mx, $pk, $zc)" }.mkString(",\n") +
         "\n) AS t(sample_rate, n, min_rms, max_rms, max_peak, sum_zero_cross)"),
+    // banding + min-Hamming confirm replicated in SQL over the dumped
+    // per-(clip, slot) frame phashes — the d05 oracle pattern with
+    // DISTINCT (clip, block) rows and a k×k frame-pair min
+    "m07_clip_neardup_pairs" ->
+      s"""WITH ph AS (SELECT video_id, phash,
+         |    CASE WHEN phash < 0 THEN phash::HUGEINT + 18446744073709551616
+         |         ELSE phash::HUGEINT END AS u
+         |  FROM read_parquet(${oraclePath("m07_frame_phash")})),
+         |pw(i, p) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT), (2, 65536::HUGEINT),
+         |  (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT), (5, 1099511627776::HUGEINT),
+         |  (6, 281474976710656::HUGEINT), (7, 72057594037927936::HUGEINT)),
+         |blocks AS (SELECT DISTINCT ph.video_id, pw.i, (ph.u // pw.p) % 256 AS blk FROM ph, pw),
+         |keep AS (SELECT i, blk FROM blocks GROUP BY i, blk HAVING count(*) BETWEEN 2 AND 64),
+         |cand AS (
+         |  SELECT DISTINCT x.video_id AS a, y.video_id AS b
+         |  FROM blocks x JOIN keep USING (i, blk) JOIN blocks y USING (i, blk)
+         |  WHERE x.video_id < y.video_id),
+         |ham AS (
+         |  SELECT c.a, c.b, min(bit_count(xor(pa.phash, pb.phash))) AS min_hamming
+         |  FROM cand c JOIN ph pa ON pa.video_id = c.a JOIN ph pb ON pb.video_id = c.b
+         |  GROUP BY c.a, c.b)
+         |SELECT a, b, min_hamming FROM ham WHERE min_hamming <= 7""".stripMargin,
     // clustering tail replicated as a recursive transitive closure over
     // the dumped edge set, then min-image_id relabel + component sizes
     "m01_corpus_dedup_clusters" ->

@@ -43,8 +43,28 @@ object SyntheticMedia {
 
   val W = 32
   val H = 32
+  val DUP_FRACTION = 0.1
   private val FPS = Array(10, 24, 30)
   private val RATES = Array(8000, 16000, 44100)
+
+  /** Video dup kinds, each a realistic re-publication of a source clip:
+    *  - `trim`    — first 2 frames cut (re-edited upload: different
+    *                container bytes, shifted sampling grid)
+    *  - `renoise` — same scene, fresh per-pixel noise (re-capture /
+    *                re-encode: every frame differs byte-wise)
+    *  - `refps`   — identical frames at a different fps label
+    *                (retimed remux: header differs, payload identical) */
+  private val dupKinds = Array("trim", "renoise", "refps")
+
+  def nBase(nTotal: Long): Long =
+    math.max(1L, (nTotal * (1.0 - DUP_FRACTION)).toLong)
+
+  /** Dup plan for a dup row id (id >= nBase): (srcId, kind). */
+  def dupPlan(id: Long, nBaseRows: Long): (Long, String) = {
+    val r = new Prg(id, "vdup")
+    val src = java.lang.Long.remainderUnsigned(r.nextLong(), nBaseRows)
+    (src, dupKinds(r.nextInt(dupKinds.length)))
+  }
 
   /** Gray 4×4 field → W×H bilinear upsample + ±8 per-pixel noise. */
   private def upsample(field: Array[Int], r: Prg): Array[Byte] = {
@@ -71,21 +91,61 @@ object SyntheticMedia {
     out
   }
 
-  /** Build one clip (pure function of id): 8–32 frames of a drifting
-    * field, fps ∈ {10, 24, 30}. ≤ ~33 KB per row. */
-  def genVideo(id: Long): VideoRow = {
+  /** Per-clip scene spec, a pure function of the BASE id: fps ∈
+    * {10, 24, 30}, 8–32 frames, 4×4 field + per-cell drift velocity. */
+  private def clipSpec(id: Long): (Int, Int, Array[Int], Array[Int]) = {
     val r = new Prg(id, "vid")
     val fps = FPS(r.nextInt(FPS.length))
     val nframes = 8 + r.nextInt(25)
     val base = Array.fill(16)(r.nextInt(256))
     val vel = Array.fill(16)(r.nextInt(13) - 6)
-    val frames = (0 until nframes).map { f =>
-      val field = Array.tabulate(16)(c =>
-        math.max(0, math.min(255, base(c) + vel(c) * f)))
-      upsample(field, new Prg(id, s"vframe:$f"))
+    (fps, nframes, base, vel)
+  }
+
+  /** Frame f of base clip `srcId`, noise drawn from `noiseId`'s stream
+    * (noiseId == srcId reproduces the original frame byte-exactly). */
+  private def genFrame(base: Array[Int], vel: Array[Int], f: Int,
+      noiseId: Long): Array[Byte] = {
+    val field = Array.tabulate(16)(c =>
+      math.max(0, math.min(255, base(c) + vel(c) * f)))
+    upsample(field, new Prg(noiseId, s"vframe:$f"))
+  }
+
+  /** Build one clip (pure function of id + nTotal): base rows are
+    * original scenes; the ~10% tail rows are trim/renoise/refps
+    * republications of a base clip (ground truth via [[dupPlan]]).
+    * ≤ ~33 KB per row. */
+  def genVideo(id: Long, nTotal: Long): VideoRow = {
+    val nb = nBase(nTotal)
+    if (id < nb) {
+      val (fps, nframes, base, vel) = clipSpec(id)
+      val frames = (0 until nframes).map(genFrame(base, vel, _, id))
+      VideoRow(s"vid_$id", VideoContainer.encode(W, H, fps, frames),
+        W, H, fps, nframes, s"clip of ${SyntheticCorpus.genCaption(id)}")
+    } else {
+      val (src, kind) = dupPlan(id, nb)
+      val (fps, nframes, base, vel) = clipSpec(src)
+      val title = s"clip of ${SyntheticCorpus.genCaption(src)}"
+      kind match {
+        case "trim" =>
+          // cut the first 2 frames; remaining frames byte-identical to
+          // the source's (noise stream keyed by src)
+          val frames = (2 until nframes).map(genFrame(base, vel, _, src))
+          VideoRow(s"vid_$id", VideoContainer.encode(W, H, fps, frames),
+            W, H, fps, nframes - 2, title)
+        case "renoise" =>
+          // same scene + drift, fresh noise: every frame differs
+          val frames = (0 until nframes).map(genFrame(base, vel, _, id))
+          VideoRow(s"vid_$id", VideoContainer.encode(W, H, fps, frames),
+            W, H, fps, nframes, title)
+        case _ => // refps: identical payload, different fps label
+          val r = new Prg(id, "refps")
+          val fps2 = FPS((FPS.indexOf(fps) + 1 + r.nextInt(FPS.length - 1)) % FPS.length)
+          val frames = (0 until nframes).map(genFrame(base, vel, _, src))
+          VideoRow(s"vid_$id", VideoContainer.encode(W, H, fps2, frames),
+            W, H, fps2, nframes, title)
+      }
     }
-    VideoRow(s"vid_$id", VideoContainer.encode(W, H, fps, frames),
-      W, H, fps, nframes, s"clip of ${SyntheticCorpus.genCaption(id)}")
   }
 
   /** Build one audio row (pure function of id): 2048–8191 PCM16 samples
@@ -113,7 +173,18 @@ object SyntheticMedia {
 
   def videos(spark: SparkSession, nTotal: Long): Dataset[VideoRow] = {
     import spark.implicits._
-    spark.range(nTotal).map(r => genVideo(r))
+    spark.range(nTotal).map(r => genVideo(r, nTotal))
+  }
+
+  /** Ground-truth near-dup labels for the video corpus (pure function of
+    * the id range, like the clips themselves). */
+  def videoDupLabels(spark: SparkSession, nTotal: Long): Dataset[DupLabel] = {
+    import spark.implicits._
+    val nb = nBase(nTotal)
+    spark.range(nb, nTotal).map { id =>
+      val (src, kind) = dupPlan(id, nb)
+      DupLabel(s"vid_$id", s"vid_$src", kind)
+    }
   }
 
   def audios(spark: SparkSession, nTotal: Long): Dataset[AudioRow] = {

@@ -466,6 +466,22 @@ class QueriesSpec extends AnyFunSuite {
     per.foreach { case (k, g) => assert(g.length <= 3, k) }
   }
 
+  test("m07 clip near-dup: recall 1.0 over injected trim/renoise/refps dups") {
+    val found = SparkEntry.queries("m07_clip_neardup_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val labels = graft.sources.SyntheticMedia
+      .videoDupLabels(spark, Queries.mediaRows(sf)).collect()
+    assert(labels.nonEmpty)
+    labels.foreach { l =>
+      val p = if (l.dup_id < l.src_id) (l.dup_id, l.src_id) else (l.src_id, l.dup_id)
+      assert(found.contains(p), s"missed ${l.kind} dup pair $p")
+    }
+    // the confirm threshold sits below the measured random floor (8), so
+    // every reported pair is tight
+    SparkEntry.queries("m07_clip_neardup_pairs")(spark, sf).collect()
+      .foreach(r => assert(r.getInt(2) <= 7))
+  }
+
   test("d06 clusters: every confirmed d04 pair lands in one cluster") {
     val assign = SparkEntry.queries("d06_doc_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -97,10 +97,11 @@ class MediaCodecSpec extends AnyFunSuite {
   // ---------------- synthetic generators
 
   test("genVideo/genAudio are pure functions of id and within size budget") {
-    for (id <- Seq(0L, 1L, 17L, 999L)) {
-      val a = SyntheticMedia.genVideo(id); val b = SyntheticMedia.genVideo(id)
+    for (id <- Seq(0L, 1L, 17L, 950L, 999L)) { // tail ids are dup clips
+      val a = SyntheticMedia.genVideo(id, 1000L)
+      val b = SyntheticMedia.genVideo(id, 1000L)
       assert(a.bytes.sameElements(b.bytes) && a.title == b.title)
-      assert(a.nframes >= 8 && a.nframes <= 32)
+      assert(a.nframes >= 6 && a.nframes <= 32) // trim dups may reach 6
       assert(a.bytes.length <= VideoContainer.HEADER + 32 * 32 * 32)
       val hd = VideoContainer.header(a.bytes).get
       assert((hd.nframes, hd.fps) === ((a.nframes, a.fps)))
@@ -109,5 +110,37 @@ class MediaCodecSpec extends AnyFunSuite {
       val w = WavCodec.decode(x.bytes).get
       assert(w.sampleRate === x.sample_rate && w.nSamples === x.n_samples)
     }
+  }
+
+  test("video dup kinds relate to their source exactly as advertised") {
+    val n = 1000L
+    val nb = SyntheticMedia.nBase(n)
+    var seen = Set.empty[String]
+    for (id <- nb until n) {
+      val (src, kind) = SyntheticMedia.dupPlan(id, nb)
+      val dup = SyntheticMedia.genVideo(id, n)
+      val orig = SyntheticMedia.genVideo(src, n)
+      val dh = VideoContainer.header(dup.bytes).get
+      val oh = VideoContainer.header(orig.bytes).get
+      kind match {
+        case "trim" =>
+          assert(dh.nframes === oh.nframes - 2)
+          // dup frame f == source frame f+2, byte-exact
+          for (f <- 0 until math.min(3, dh.nframes))
+            assert(VideoContainer.frame(dup.bytes, dh, f)
+              .sameElements(VideoContainer.frame(orig.bytes, oh, f + 2)))
+        case "renoise" =>
+          assert(dh.nframes === oh.nframes && dh.fps === oh.fps)
+          assert(!dup.bytes.sameElements(orig.bytes)) // noise differs
+        case "refps" =>
+          assert(dh.fps !== oh.fps)
+          // payload identical: frames byte-exact
+          for (f <- 0 until math.min(3, dh.nframes))
+            assert(VideoContainer.frame(dup.bytes, dh, f)
+              .sameElements(VideoContainer.frame(orig.bytes, oh, f)))
+      }
+      seen += kind
+    }
+    assert(seen === Set("trim", "renoise", "refps")) // all kinds exercised
   }
 }
