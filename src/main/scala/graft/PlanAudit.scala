@@ -31,7 +31,8 @@ object PlanAudit {
       "d08_sql_jaccard", "q10_bucketed_join",
       "d13_repeated_ngram_spans", "d14_containment_dedup",
       "d15_sketch_error_audit", "t06_unigram_logprob",
-      "t09_stratified_sample", "e06_ann_recall").foreach(dump)
+      "t09_stratified_sample", "e06_ann_recall",
+      "m07_clip_neardup_pairs").foreach(dump)
     spark.stop()
   }
 }

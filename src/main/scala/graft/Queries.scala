@@ -1625,12 +1625,17 @@ object Queries {
         graft.sources.SyntheticMedia.videos(s, mediaRows(d)).toDF()
           .select(col("video_id"), explode(phashes(col("bytes"))).as("fp"))
           .select(col("video_id"), col("fp._1").as("slot"), col("fp._2").as("phash")))
-      // distinct (clip, block) rows: a clip's similar frames sharing a
-      // block must not inflate the bucket count or pair a clip with itself
+      // NO pre-distinct: the bucket window + candidatePairs'
+      // array_distinct subsume it in ONE shuffle of the band table (a
+      // pre-distinct exchange would shuffle the same rows twice). The
+      // cap therefore counts frame multiplicity — harsher on hot scene
+      // buckets, which is the protective direction, and a dup pair has
+      // up to k×8 shared buckets so recall survives dropped hot buckets
+      // (asserted against ground truth in QueriesSpec).
       val banded = Lsh.explodeBands(
         ph.select(col("video_id").as("id"),
           GraftFunctions.fingerprintBands(col("phash"), 8).as("bk")),
-        "id", "bk", sourceTag = 13).distinct()
+        "id", "bk", sourceTag = 13)
       Lsh.candidatePairs(banded, maxBucket = 64)
         .join(ph.select(col("video_id").as("a"), col("phash").as("pa")), "a")
         .join(ph.select(col("video_id").as("b"), col("phash").as("pb")), "b")
@@ -1733,11 +1738,12 @@ object Queries {
          |pw(i, p) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT), (2, 65536::HUGEINT),
          |  (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT), (5, 1099511627776::HUGEINT),
          |  (6, 281474976710656::HUGEINT), (7, 72057594037927936::HUGEINT)),
-         |blocks AS (SELECT DISTINCT ph.video_id, pw.i, (ph.u // pw.p) % 256 AS blk FROM ph, pw),
+         |blocks AS (SELECT ph.video_id, pw.i, (ph.u // pw.p) % 256 AS blk FROM ph, pw),
          |keep AS (SELECT i, blk FROM blocks GROUP BY i, blk HAVING count(*) BETWEEN 2 AND 64),
+         |dv AS (SELECT DISTINCT video_id, i, blk FROM blocks),
          |cand AS (
          |  SELECT DISTINCT x.video_id AS a, y.video_id AS b
-         |  FROM blocks x JOIN keep USING (i, blk) JOIN blocks y USING (i, blk)
+         |  FROM dv x JOIN keep USING (i, blk) JOIN dv y USING (i, blk)
          |  WHERE x.video_id < y.video_id),
          |ham AS (
          |  SELECT c.a, c.b, min(bit_count(xor(pa.phash, pb.phash))) AS min_hamming
