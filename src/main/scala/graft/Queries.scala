@@ -947,6 +947,39 @@ object Queries {
             (col("na") + col("nb") - coalesce(col("c"), lit(0L))), 6))
         .withColumn("abs_err", round(abs(col("jac_est") - col("jac_exact")), 6))
         .select(col("a"), col("b"), col("jac_est"), col("jac_exact"), col("abs_err"))
+    },
+    // BENCHMARK DECONTAMINATION — the cross-corpus training-pipeline op
+    // (remove/flag training docs that overlap a held-out eval set, the
+    // GPT-3/Llama 13-gram protocol): a deterministic slice of the corpus
+    // (doc_id % 43 = 0, ~2%) plays the eval benchmark; every TRAIN doc is
+    // scored by the fraction of its distinct char-13-grams that appear
+    // anywhere in the eval set. The scale shape differs from every dNN
+    // above: the eval side is small and the train side is the 100-TB
+    // corpus, so the gram-membership join is a BROADCAST hash join on
+    // 8-byte gram hashes (no shuffle of the train grams beyond the per-doc
+    // rollup); at eval sets too large to broadcast exactly, the same plan
+    // swaps the hash set for a Bloom filter of eval grams (false-positive
+    // overlap inflates scores conservatively — flagged docs are dropped
+    // anyway). Grams are xxhash64'd before the join (d02's documented
+    // collision bound applies; the oracle joins exact strings, so the
+    // hash gate would surface a collision as a value diff).
+    "d16_decontaminate" -> { (s, d) =>
+      val docs = t(s, d, "documents").where(length(col("text")) >= 13)
+        .select(col("doc_id"), (col("doc_id") % 43 === 0).as("ev"),
+          explode(expr("array_distinct(transform(sequence(1, length(text)-12), i -> substring(text, i, 13)))")).as("gram"))
+        .select(col("doc_id"), col("ev"), xxhash64(col("gram")).as("gh"))
+      val evalGrams = docs.where(col("ev"))
+        .select(col("gh")).distinct().withColumn("hit", lit(1L))
+      docs.where(!col("ev"))
+        .join(broadcast(evalGrams), Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .where(col("n_hit") > 0)
+        .withColumn("overlap", round(col("n_hit") * lit(1.0) / col("n_grams"), 6))
+        .withColumn("contaminated", col("overlap") >= 0.5)
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          col("overlap"), col("contaminated"))
     })
 
   private val docDedupOracles: Map[String, String] = Map(
@@ -1122,7 +1155,28 @@ object Queries {
          |  JOIN sizes sa ON sa.doc_id = j.a
          |  JOIN sizes sb ON sb.doc_id = j.b)
          |SELECT a, b, jac_est, jac_exact,
-         |  round(abs(jac_est - jac_exact), 6) AS abs_err FROM ex""".stripMargin)
+         |  round(abs(jac_est - jac_exact), 6) AS abs_err FROM ex""".stripMargin,
+    // decontamination replicated on exact gram STRINGS (the Spark side
+    // joins on xxhash64 of the same grams — a collision would flip n_hit
+    // and fail this hash gate)
+    "d16_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, (doc_id % 43 = 0) AS ev FROM documents
+        |  WHERE length(text) >= 13),
+        |pos AS (
+        |  SELECT doc_id, text, ev, unnest(range(1, length(text)-11)) AS i
+        |  FROM docs),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, ev, substr(text, i::INT, 13) AS gram FROM pos),
+        |eg AS (SELECT DISTINCT gram FROM grams WHERE ev),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    count(*) FILTER (WHERE gram IN (SELECT gram FROM eg)) AS n_hit
+        |  FROM grams WHERE NOT ev GROUP BY 1)
+        |SELECT doc_id, n_grams, n_hit,
+        |  round(n_hit*1.0/n_grams, 6) AS overlap,
+        |  round(n_hit*1.0/n_grams, 6) >= 0.5 AS contaminated
+        |FROM hits WHERE n_hit > 0""".stripMargin)
 
   // ================================================================ t04: winnowing fingerprints
   //

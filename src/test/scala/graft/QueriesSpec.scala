@@ -243,6 +243,41 @@ class QueriesSpec extends AnyFunSuite {
     info(s"d14 containment pairs: ${rows.length}")
   }
 
+  test("d16 decontamination matches a local exact recount; eval side broadcasts") {
+    val df = SparkEntry.queries("d16_decontaminate")(spark, sf)
+    // the eval gram set must reach the train side as a broadcast, never a
+    // shuffle of the 100-TB train grams to meet it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    val got = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // independent recount on exact gram strings (the query joins on
+    // xxhash64 of the same grams)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.length >= 13)
+    def grams(t: String): Set[String] =
+      (0 to t.length - 13).map(i => t.substring(i, i + 13)).toSet
+    val evalIds = docs.collect { case (id, _) if id % 43 == 0 => id }.toSet
+    assert(evalIds.nonEmpty, "mod-43 split selected no eval docs at this sf")
+    val evalGrams = docs.filter(d => evalIds(d._1)).flatMap(d => grams(d._2)).toSet
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.filterNot(d => evalIds(d._1)).flatMap { case (id, t) =>
+      val g = grams(t)
+      val hit = g.count(evalGrams.contains).toLong
+      if (hit > 0) {
+        val ov = r6(hit.toDouble / g.size)
+        Some(id -> ((g.size.toLong, hit, ov, ov >= 0.5)))
+      } else None
+    }.toMap
+    assert(got == expected,
+      s"diff: ${(got.keySet ++ expected.keySet).filter(k => got.get(k) != expected.get(k)).take(5)}")
+    info(s"d16: ${got.size} train docs overlap the ${evalIds.size}-doc eval set; " +
+      s"${got.count(_._2._4)} contaminated")
+  }
+
   test("st05 streaming incremental dedup equals d12's one-shot batch answer") {
     def decisions(name: String) =
       SparkEntry.queries(name)(spark, sf).collect()
