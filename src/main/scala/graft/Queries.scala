@@ -964,10 +964,7 @@ object Queries {
     // collision bound applies; the oracle joins exact strings, so the
     // hash gate would surface a collision as a value diff).
     "d16_decontaminate" -> { (s, d) =>
-      val docs = t(s, d, "documents").where(length(col("text")) >= 13)
-        .select(col("doc_id"), (col("doc_id") % 43 === 0).as("ev"),
-          explode(expr("array_distinct(transform(sequence(1, length(text)-12), i -> substring(text, i, 13)))")).as("gram"))
-        .select(col("doc_id"), col("ev"), xxhash64(col("gram")).as("gh"))
+      val docs = deconGrams(s, d)
       val evalGrams = docs.where(col("ev"))
         .select(col("gh")).distinct().withColumn("hit", lit(1L))
       docs.where(!col("ev"))
@@ -980,7 +977,48 @@ object Queries {
         .withColumn("contaminated", col("overlap") >= 0.5)
         .select(col("doc_id"), col("n_grams"), col("n_hit"),
           col("overlap"), col("contaminated"))
+    },
+    // d16's CAN'T-BROADCAST twin: when the eval suite's gram set is too
+    // large to broadcast exactly, the production shape is a BLOOM
+    // PREFILTER (built distributed via graft_bloom_agg — Spark's own
+    // runtime-filter aggregate, one binary row, never a driver collect)
+    // reaching every train partition as a scalar subquery, followed by
+    // an exact SHUFFLE join that only the surviving grams pay for. Bloom
+    // filters have no false negatives and the exact join kills the false
+    // positives, so the output is PROVABLY identical to d16 — it shares
+    // d16's oracle — while the shuffle carries (true hits + fpp·rest)
+    // instead of the whole 100-TB gram stream. The SHUFFLE_HASH hint
+    // pins the at-scale plan (AQE would broadcast the toy eval side and
+    // make the prefilter pointless at sf0.01).
+    "d17_decontaminate_bloom" -> { (s, d) =>
+      graft.functions.GraftExtensions.register(s)
+      deconGrams(s, d).createOrReplaceTempView("decon_grams")
+      s.sql(
+        """WITH eg AS (SELECT DISTINCT gh FROM decon_grams WHERE ev),
+          |bloom AS (SELECT graft_bloom_agg(gh, CAST(16384 AS BIGINT)) AS bf FROM eg),
+          |tg AS (SELECT doc_id, gh FROM decon_grams WHERE NOT ev),
+          |per_doc AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+          |survivors AS (
+          |  SELECT doc_id, gh FROM tg
+          |  WHERE graft_might_contain((SELECT bf FROM bloom), gh)),
+          |hits AS (
+          |  SELECT /*+ SHUFFLE_HASH(eg) */ s.doc_id, count(*) AS n_hit
+          |  FROM survivors s JOIN eg ON s.gh = eg.gh GROUP BY s.doc_id)
+          |SELECT p.doc_id, p.n_grams, h.n_hit,
+          |  round(h.n_hit * 1.0D / p.n_grams, 6) AS overlap,
+          |  round(h.n_hit * 1.0D / p.n_grams, 6) >= 0.5 AS contaminated
+          |FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id""".stripMargin)
     })
+
+  /** Shared 13-gram derivation for the decontamination pair (d16/d17):
+    * distinct char-13-grams of every doc, xxhash64'd to 8-byte keys, with
+    * the deterministic eval-slice marker (doc_id % 43 — the held-out
+    * "benchmark" at ~2% of the corpus). */
+  private def deconGrams(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").where(length(col("text")) >= 13)
+      .select(col("doc_id"), (col("doc_id") % 43 === 0).as("ev"),
+        explode(expr("array_distinct(transform(sequence(1, length(text)-12), i -> substring(text, i, 13)))")).as("gram"))
+      .select(col("doc_id"), col("ev"), xxhash64(col("gram")).as("gh"))
 
   private val docDedupOracles: Map[String, String] = Map(
     "d03_minhash_lsh_pairs" ->
@@ -1177,6 +1215,11 @@ object Queries {
         |  round(n_hit*1.0/n_grams, 6) AS overlap,
         |  round(n_hit*1.0/n_grams, 6) >= 0.5 AS contaminated
         |FROM hits WHERE n_hit > 0""".stripMargin)
+
+  /** d17's output is provably d16's (bloom = prefilter only: no false
+    * negatives; false positives die in the exact join) — same oracle. */
+  private val deconBloomOracle: Map[String, String] =
+    Map("d17_decontaminate_bloom" -> docDedupOracles("d16_decontaminate"))
 
   // ================================================================ t04: winnowing fingerprints
   //
@@ -2707,6 +2750,7 @@ object Queries {
 
   val oracles: Map[String, String] =
     relationalOracles ++ dedupOracles ++ textOracles ++ embeddingOracles ++
-      streamingOracles ++ docDedupOracles ++ fingerprintOracles ++
-      aggAndSqlOracles ++ multimodalOracles ++ sourmashOracles
+      streamingOracles ++ docDedupOracles ++ deconBloomOracle ++
+      fingerprintOracles ++ aggAndSqlOracles ++ multimodalOracles ++
+      sourmashOracles
 }

@@ -77,6 +77,37 @@ object GraftExtensions {
         case Seq(ma, aa, mb, ab) => AngularMinhash(ma, aa, mb, ab)
         case _ => throw new IllegalArgumentException(
           "graft_angular(minsA, abundsA, minsB, abundsB)")
+      }),
+    // Spark's OWN runtime-filter machinery (the aggregate + predicate
+    // that InjectRuntimeFilter plants under broadcast exchanges),
+    // surfaced as explicit SQL functions so a pipeline can build a Bloom
+    // filter of a small side ON THE EXECUTORS (one binary blob row — no
+    // driver collect, unlike DataFrameStatFunctions.bloomFilter) and
+    // prefilter a 100-TB stream before its shuffle. The bloom argument
+    // of graft_might_contain must be a constant or scalar subquery
+    // (Spark's own analysis rule for BloomFilterMightContain enforces
+    // this — the subquery result is what gets shipped to executors).
+    ("graft_bloom_agg",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(col[, expectedItems])")
+      }),
+    ("graft_might_contain",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bloom, v) =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(bloom, v)
+        case _ => throw new IllegalArgumentException(
+          "graft_might_contain(bloom, col)")
       }))
 
   /** Idempotent per-session registration (for sessions created without

@@ -278,6 +278,35 @@ class QueriesSpec extends AnyFunSuite {
       s"${got.count(_._2._4)} contaminated")
   }
 
+  test("d17 bloom-prefiltered decontamination equals d16 exactly; the prefilter prunes") {
+    val exact = SparkEntry.queries("d16_decontaminate")(spark, sf)
+    val bloom = SparkEntry.queries("d17_decontaminate_bloom")(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toSet
+    // no false negatives (bloom) + exact confirm (join) => identical output
+    assert(key(bloom) == key(exact))
+    // the exact-confirm join must be the pinned shuffle join (the
+    // at-scale regime), with the bloom arriving as a scalar subquery
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("might_contain") || plan.contains("Subquery"), plan)
+    // and the prefilter must actually prune: count the grams that would
+    // reach the shuffle with vs without it
+    graft.functions.GraftFunctions // touch: extensions registered by the query above
+    val total = spark.sql("SELECT count(*) FROM decon_grams WHERE NOT ev").head().getLong(0)
+    val surviving = spark.sql(
+      """WITH eg AS (SELECT DISTINCT gh FROM decon_grams WHERE ev),
+        |bloom AS (SELECT graft_bloom_agg(gh, CAST(16384 AS BIGINT)) AS bf FROM eg)
+        |SELECT count(*) FROM decon_grams
+        |WHERE NOT ev AND graft_might_contain((SELECT bf FROM bloom), gh)""".stripMargin)
+      .head().getLong(0)
+    assert(surviving < total,
+      s"bloom prefilter prunes nothing: $surviving of $total grams survive")
+    info(f"d17: bloom prefilter passes $surviving of $total train grams " +
+      f"(${100.0 * surviving / total}%.1f%%) to the exact shuffle join")
+  }
+
   test("st05 streaming incremental dedup equals d12's one-shot batch answer") {
     def decisions(name: String) =
       SparkEntry.queries(name)(spark, sf).collect()
