@@ -554,6 +554,30 @@ object Queries {
       t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 3)
+    },
+    // TOKEN-BUDGET MIXING — t09's companion data-mixing primitive: fill a
+    // per-(lang, source) TOKEN budget greedily by quality (stopword-ratio
+    // rank, the t02 signal; CCNet buckets by exactly this family of
+    // scores), i.e. "give me the best 120 tokens of every shard". One
+    // running-sum window per (lang, source) group — a web-scale mix is
+    // computed per shard precisely so the global sort this would
+    // otherwise need parallelizes into thousands of independent groups
+    // (here 5 langs × 20 sources; a coarser grouping at scale would swap
+    // the exact rank for a quality-histogram cutoff — two parallel
+    // passes — at the cost of an approximate budget edge). Ordering is
+    // deterministic: the quality key is one IEEE division identical in
+    // both engines, ties broken by doc_id.
+    "t10_token_budget_mix" -> { (s, d) =>
+      val base = t(s, d, "documents").select(
+        col("doc_id"), col("lang"), col("source"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(filter(toks(col("text")), x => x === "the" || x === "a")).as("n_stop"))
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy((col("n_stop") * lit(1.0) / col("n_tokens")).desc, col("doc_id"))
+      base.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= 120)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("cum_tokens"))
     })
 
   private val textOracles: Map[String, String] = Map(
@@ -598,6 +622,20 @@ object Queries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 3""".stripMargin,
+    "t10_token_budget_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source,
+        |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x = 'the' OR x = 'a')) AS n_stop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, source
+        |      ORDER BY n_stop*1.0/n_tokens DESC, doc_id) AS cum_tokens
+        |  FROM b)
+        |SELECT doc_id, lang, source, n_tokens, cum_tokens FROM r
+        |WHERE cum_tokens <= 120""".stripMargin,
     "t01_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,

@@ -307,6 +307,32 @@ class QueriesSpec extends AnyFunSuite {
       f"(${100.0 * surviving / total}%.1f%%) to the exact shuffle join")
   }
 
+  test("t10 token-budget mix is the maximal quality-ranked prefix within each budget") {
+    val got = SparkEntry.queries("t10_token_budget_mix")(spark, sf).collect()
+      .map(r => ((r.getString(1), r.getString(2)), (r.getLong(0), r.getInt(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3)).toMap
+    // local recount of the quality ordering (stop-ratio desc, doc_id asc)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect().map { r =>
+        val tk = r.getString(3).split(" ").filter(_.nonEmpty)
+        val stop = tk.count(x => x == "the" || x == "a")
+        ((r.getString(1), r.getString(2)),
+          (r.getLong(0), tk.length, stop.toDouble / tk.length))
+      }.groupBy(_._1).view.mapValues(
+        _.map(_._2).sortBy { case (id, _, q) => (-q, id) }).toMap
+    docs.foreach { case (grp, ranked) =>
+      // greedy prefix: docs selected in rank order while cum <= 120,
+      // stopping at the FIRST doc that would overflow (window semantics)
+      var cum = 0L
+      val want = ranked.takeWhile { case (_, n, _) => cum += n; cum <= 120 }
+        .map { var c = 0L; d => { c += d._2; (d._1, d._2, c) } }
+      assert(got.getOrElse(grp, Array.empty[(Long, Int, Long)]).toSeq == want.toSeq,
+        s"group $grp: got ${got.get(grp).map(_.toSeq)}, want ${want.toSeq}")
+    }
+    val nSel = got.values.map(_.length).sum
+    info(s"t10: $nSel docs selected across ${docs.size} (lang, source) shards")
+  }
+
   test("st05 streaming incremental dedup equals d12's one-shot batch answer") {
     def decisions(name: String) =
       SparkEntry.queries(name)(spark, sf).collect()
