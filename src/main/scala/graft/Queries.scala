@@ -1001,21 +1001,7 @@ object Queries {
     // anyway). Grams are xxhash64'd before the join (d02's documented
     // collision bound applies; the oracle joins exact strings, so the
     // hash gate would surface a collision as a value diff).
-    "d16_decontaminate" -> { (s, d) =>
-      val docs = deconGrams(s, d)
-      val evalGrams = docs.where(col("ev"))
-        .select(col("gh")).distinct().withColumn("hit", lit(1L))
-      docs.where(!col("ev"))
-        .join(broadcast(evalGrams), Seq("gh"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .where(col("n_hit") > 0)
-        .withColumn("overlap", round(col("n_hit") * lit(1.0) / col("n_grams"), 6))
-        .withColumn("contaminated", col("overlap") >= 0.5)
-        .select(col("doc_id"), col("n_grams"), col("n_hit"),
-          col("overlap"), col("contaminated"))
-    },
+    "d16_decontaminate" -> { (s, d) => deconOverlap(s, d) },
     // d16's CAN'T-BROADCAST twin: when the eval suite's gram set is too
     // large to broadcast exactly, the production shape is a BLOOM
     // PREFILTER (built distributed via graft_bloom_agg — Spark's own
@@ -1046,6 +1032,51 @@ object Queries {
           |  round(h.n_hit * 1.0D / p.n_grams, 6) AS overlap,
           |  round(h.n_hit * 1.0D / p.n_grams, 6) >= 0.5 AS contaminated
           |FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id""".stripMargin)
+    },
+    // THE CURATION MANIFEST — the whole training-set funnel as ONE
+    // declarative plan, reporting surviving docs + token mass per stage:
+    // raw → quality gate (t02's signals) → eval split (the d16 holdout
+    // leaves the training set) → decontamination (d16's flags) →
+    // near-dup canonical keep (d06's clusters + d11's keep rule, ranked
+    // among the docs still alive at this stage). This is the per-release
+    // report a production corpus ships with; composing it as one plan
+    // means Catalyst shares the scans/joins and the whole funnel is a
+    // single pass + one cluster window + one global conditional agg —
+    // per-stage sums are of integral token counts, so the report is
+    // bit-deterministic at any parallelism.
+    "d18_curation_manifest" -> { (s, d) =>
+      val base = t(s, d, "documents").select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        size(filter(toks(col("text")), x => x === "the" || x === "a")).as("n_stop"))
+      val contam = deconOverlap(s, d).where(col("contaminated"))
+        .select(col("doc_id"), lit(true).as("contam"))
+      val funnel = base
+        .join(broadcast(contam), Seq("doc_id"), "left")
+        .join(docClusterLabels(s, d), "doc_id")
+        .withColumn("q_ok", col("n_tokens") >= 20 &&
+          col("n_stop") * lit(1.0) / col("n_tokens") >= 0.05)
+        .withColumn("s3", col("q_ok") && !(col("doc_id") % 43 === 0))
+        .withColumn("s4", col("s3") && !coalesce(col("contam"), lit(false)))
+      val keepRank = Window.partitionBy(col("cluster"))
+        .orderBy(col("s4").desc, col("n_tokens").desc, col("doc_id"))
+      funnel.withColumn("rk", row_number().over(keepRank))
+        .agg(
+          count(lit(1)).as("raw_d"), sum(col("n_tokens")).as("raw_t"),
+          count(when(col("q_ok"), 1)).as("q_d"),
+          coalesce(sum(when(col("q_ok"), col("n_tokens"))), lit(0L)).as("q_t"),
+          count(when(col("s3"), 1)).as("s3_d"),
+          coalesce(sum(when(col("s3"), col("n_tokens"))), lit(0L)).as("s3_t"),
+          count(when(col("s4"), 1)).as("s4_d"),
+          coalesce(sum(when(col("s4"), col("n_tokens"))), lit(0L)).as("s4_t"),
+          count(when(col("s4") && col("rk") === 1, 1)).as("s5_d"),
+          coalesce(sum(when(col("s4") && col("rk") === 1, col("n_tokens"))), lit(0L)).as("s5_t"))
+        .select(expr(
+          """stack(5,
+            |  'raw', raw_d, raw_t,
+            |  'quality', q_d, q_t,
+            |  'eval_split', s3_d, s3_t,
+            |  'decontaminated', s4_d, s4_t,
+            |  'near_dedup', s5_d, s5_t) AS (stage, n_docs, n_tokens)""".stripMargin))
     })
 
   /** Shared 13-gram derivation for the decontamination pair (d16/d17):
@@ -1057,6 +1088,24 @@ object Queries {
       .select(col("doc_id"), (col("doc_id") % 43 === 0).as("ev"),
         explode(expr("array_distinct(transform(sequence(1, length(text)-12), i -> substring(text, i, 13)))")).as("gram"))
       .select(col("doc_id"), col("ev"), xxhash64(col("gram")).as("gh"))
+
+  /** d16's body (also feeds d18's funnel): per-train-doc eval-gram
+    * overlap via the broadcast membership join. */
+  private def deconOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = deconGrams(s, d)
+    val evalGrams = docs.where(col("ev"))
+      .select(col("gh")).distinct().withColumn("hit", lit(1L))
+    docs.where(!col("ev"))
+      .join(broadcast(evalGrams), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .where(col("n_hit") > 0)
+      .withColumn("overlap", round(col("n_hit") * lit(1.0) / col("n_grams"), 6))
+      .withColumn("contaminated", col("overlap") >= 0.5)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        col("overlap"), col("contaminated"))
+  }
 
   private val docDedupOracles: Map[String, String] = Map(
     "d03_minhash_lsh_pairs" ->
@@ -1252,7 +1301,58 @@ object Queries {
         |SELECT doc_id, n_grams, n_hit,
         |  round(n_hit*1.0/n_grams, 6) AS overlap,
         |  round(n_hit*1.0/n_grams, 6) >= 0.5 AS contaminated
-        |FROM hits WHERE n_hit > 0""".stripMargin)
+        |FROM hits WHERE n_hit > 0""".stripMargin,
+    // the whole funnel replicated: closure clusters (d11's fragments),
+    // decontamination flags (d16's fragments), quality gate, and the
+    // per-cluster keep rank — one independent SQL pass over the same
+    // tables/dumps
+    "d18_curation_manifest" ->
+      s"""WITH RECURSIVE $candSql,
+         |$jacSql,
+         |edges AS (SELECT a, b FROM jac WHERE jac_est >= 0.5),
+         |und AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |dd AS (SELECT doc_id, text, (doc_id % 43 = 0) AS ev FROM documents
+         |  WHERE length(text) >= 13),
+         |pos AS (SELECT doc_id, text, ev, unnest(range(1, length(text)-11)) AS i FROM dd),
+         |grams AS (SELECT DISTINCT doc_id, ev, substr(text, i::INT, 13) AS gram FROM pos),
+         |eg AS (SELECT DISTINCT gram FROM grams WHERE ev),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    count(*) FILTER (WHERE gram IN (SELECT gram FROM eg)) AS n_hit
+         |  FROM grams WHERE NOT ev GROUP BY 1),
+         |flags AS (SELECT doc_id FROM hits WHERE round(n_hit*1.0/n_grams, 6) >= 0.5),
+         |b AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n_tokens,
+         |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stop
+         |  FROM documents),
+         |f AS (
+         |  SELECT b.doc_id, b.n_tokens, coalesce(c.cluster, b.doc_id) AS cluster,
+         |    (b.n_tokens >= 20 AND b.n_stop*1.0/b.n_tokens >= 0.05) AS q_ok,
+         |    (b.doc_id % 43 = 0) AS is_eval,
+         |    (b.doc_id IN (SELECT doc_id FROM flags)) AS contam
+         |  FROM b LEFT JOIN comp c USING (doc_id)),
+         |f2 AS (
+         |  SELECT *, (q_ok AND NOT is_eval) AS s3,
+         |    (q_ok AND NOT is_eval AND NOT contam) AS s4 FROM f),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY s4 DESC, n_tokens DESC, doc_id) AS rk FROM f2)
+         |SELECT 'raw' AS stage, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS n_tokens FROM r
+         |UNION ALL SELECT 'quality', count(*) FILTER (WHERE q_ok),
+         |  coalesce(sum(n_tokens) FILTER (WHERE q_ok), 0) FROM r
+         |UNION ALL SELECT 'eval_split', count(*) FILTER (WHERE s3),
+         |  coalesce(sum(n_tokens) FILTER (WHERE s3), 0) FROM r
+         |UNION ALL SELECT 'decontaminated', count(*) FILTER (WHERE s4),
+         |  coalesce(sum(n_tokens) FILTER (WHERE s4), 0) FROM r
+         |UNION ALL SELECT 'near_dedup', count(*) FILTER (WHERE s4 AND rk = 1),
+         |  coalesce(sum(n_tokens) FILTER (WHERE s4 AND rk = 1), 0) FROM r""".stripMargin)
 
   /** d17's output is provably d16's (bloom = prefilter only: no false
     * negatives; false positives die in the exact join) — same oracle. */

@@ -307,6 +307,39 @@ class QueriesSpec extends AnyFunSuite {
       f"(${100.0 * surviving / total}%.1f%%) to the exact shuffle join")
   }
 
+  test("d18 curation manifest is a strict funnel whose stages cross-check the source queries") {
+    val m = SparkEntry.queries("d18_curation_manifest")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stages = Seq("raw", "quality", "eval_split", "decontaminated", "near_dedup")
+    assert(m.keySet == stages.toSet)
+    // monotone funnel in BOTH docs and tokens
+    stages.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(m(hi)._1 >= m(lo)._1 && m(hi)._2 >= m(lo)._2, s"$hi -> $lo: $m")
+    }
+    // raw row is the table itself
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(m("raw")._1 == nDocs)
+    // decontamination stage drops exactly the d16-flagged docs that were
+    // still alive after the quality + eval gates
+    val flagged = SparkEntry.queries("d16_decontaminate")(spark, sf)
+      .where(col("contaminated")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val alive = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val tk = r.getString(1).split(" ").filter(_.nonEmpty)
+        val stop = tk.count(x => x == "the" || x == "a")
+        (r.getLong(0), tk.length, stop.toDouble / tk.length)
+      }.filter { case (id, n, q) => n >= 20 && q >= 0.05 && id % 43 != 0 }
+      .map(_._1).toSet
+    assert(m("eval_split")._1 - m("decontaminated")._1 == (alive & flagged).size.toLong)
+    // near_dedup keeps exactly one doc per cluster that still has members
+    val clusters = spark.read.parquet(
+        s"/tmp/graft_derived/${new java.io.File(sf).getName}/doc_cluster_labels.parquet")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = alive -- flagged
+    assert(m("near_dedup")._1 == survivors.map(clusters).size.toLong)
+    info(s"d18 funnel: ${stages.map(st => s"$st=${m(st)._1}").mkString(" -> ")}")
+  }
+
   test("t10 token-budget mix is the maximal quality-ranked prefix within each budget") {
     val got = SparkEntry.queries("t10_token_budget_mix")(spark, sf).collect()
       .map(r => ((r.getString(1), r.getString(2)), (r.getLong(0), r.getInt(3), r.getLong(4))))
