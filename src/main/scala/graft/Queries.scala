@@ -1891,6 +1891,38 @@ object Queries {
       // n_partitions depends on the session's parallelism — excluded
       new graft.operators.Lineage(s, root).lineage()
         .select(col("stage"), col("rows_out"))
+    },
+    // IMAGE-side decontamination — d16's twin for the image modality:
+    // flag training images whose phash sits within Hamming ≤ 2 of any
+    // image in a held-out eval slice (~2%, deterministic id-hash split).
+    // Never all-pairs: both sides key on the flagship's radius-2 Manku
+    // joints (C(6,4)=15 four-block ~44-bit keys — ANY ham ≤ 2 pair
+    // shares ≥ 1 key by pigeonhole, so candidate recall is GUARANTEED,
+    // not probabilistic), the eval key table broadcasts (15 keys × the
+    // eval slice), and the Hamming confirm runs before the pair-dedup
+    // shuffle so only true matches pay an exchange. The oracle
+    // brute-forces ALL eval×train Hamming pairs from the dumped phashes
+    // in SQL — i.e. it independently re-proves the pigeonhole recall
+    // guarantee on real data, not just the banded path's own output.
+    "m08_image_decontaminate" -> { (s, d) =>
+      val ph = dumpDerived(s, d, "m08_phashes")(
+        SyntheticCorpus.corpus(s, corpusRows(d)).toDF()
+          .select(col("image_id"), col("phash"),
+            (pmod(xxhash64(col("image_id")), lit(43)) === 0).as("ev")))
+      val keyed = ph.select(col("image_id"), col("phash"), col("ev"),
+        explode(GraftFunctions.fingerprintBandsHamming2(col("phash"))).as("bk"))
+      val evalKeys = keyed.where(col("ev"))
+        .select(col("bk"), col("image_id").as("eval_id"), col("phash").as("eval_phash"))
+      keyed.where(!col("ev"))
+        .join(broadcast(evalKeys), "bk")
+        .withColumn("ham", GraftFunctions.hamming64(col("phash"), col("eval_phash")))
+        .where(col("ham") <= 2)
+        .select(col("image_id"), col("eval_id"), col("ham"))
+        .distinct()
+        .groupBy(col("image_id"))
+        .agg(count(lit(1)).as("n_eval_matches"),
+          min(col("ham")).as("min_ham"),
+          min(col("eval_id")).as("first_eval_id"))
     })
 
   /**
@@ -1985,6 +2017,20 @@ object Queries {
          |  FROM cand c JOIN ph pa ON pa.video_id = c.a JOIN ph pb ON pb.video_id = c.b
          |  GROUP BY c.a, c.b)
          |SELECT a, b, min_hamming FROM ham WHERE min_hamming <= 7""".stripMargin,
+    // image decontamination brute-forced: EVERY eval×train phash pair's
+    // Hamming distance from the dump — independently re-proving the
+    // radius-2 Manku keys' pigeonhole recall guarantee (a banded miss
+    // would show up as a missing row here)
+    "m08_image_decontaminate" ->
+      s"""WITH p AS (SELECT image_id, phash, ev
+         |  FROM read_parquet(${oraclePath("m08_phashes")})),
+         |pairs AS (
+         |  SELECT t.image_id, e.image_id AS eval_id,
+         |    bit_count(xor(t.phash, e.phash)) AS ham
+         |  FROM p t JOIN p e ON e.ev AND NOT t.ev)
+         |SELECT image_id, count(*) AS n_eval_matches, min(ham) AS min_ham,
+         |  min(eval_id) AS first_eval_id
+         |FROM pairs WHERE ham <= 2 GROUP BY image_id""".stripMargin,
     // clustering tail replicated as a recursive transitive closure over
     // the dumped edge set, then min-image_id relabel + component sizes
     "m01_corpus_dedup_clusters" ->

@@ -307,6 +307,34 @@ class QueriesSpec extends AnyFunSuite {
       f"(${100.0 * surviving / total}%.1f%%) to the exact shuffle join")
   }
 
+  test("m08 banded image decontamination equals the all-pairs Hamming ground truth") {
+    val df = SparkEntry.queries("m08_image_decontaminate")(spark, sf)
+    // eval keys must broadcast — the train keys never shuffle to meet them
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val got = df.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    // brute-force recount from the dumped phashes: every eval×train pair
+    val ph = spark.read.parquet(
+        s"/tmp/graft_derived/${new java.io.File(sf).getName}/m08_phashes.parquet")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val (eval, train) = ph.partition(_._3)
+    assert(eval.nonEmpty && train.nonEmpty)
+    val want = train.flatMap { case (tid, tp, _) =>
+      val hits = eval.map { case (eid, ep, _) =>
+        (eid, java.lang.Long.bitCount(tp ^ ep)) }.filter(_._2 <= 2)
+      if (hits.isEmpty) None
+      else Some(tid -> ((hits.length.toLong, hits.map(_._2).min, hits.map(_._1).min)))
+    }.toMap
+    // equality IS the pigeonhole recall proof: a ham <= 2 pair missed by
+    // the 15 four-block keys would be present in `want` but not `got`
+    assert(got == want,
+      s"diff: ${(got.keySet ++ want.keySet).filter(k => got.get(k) != want.get(k)).take(5)}")
+    info(s"m08: ${got.size} of ${train.length} train images flagged against " +
+      s"${eval.length} eval images (min_ham histogram: ${
+        got.values.groupBy(_._2).view.mapValues(_.size).toMap})")
+  }
+
   test("d18 curation manifest is a strict funnel whose stages cross-check the source queries") {
     val m = SparkEntry.queries("d18_curation_manifest")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
