@@ -144,6 +144,11 @@ object Queries {
       val delta = t(s, d, "documents").where(col("doc_id") % 5 === 0)
       stage(delta.where(col("doc_id") % 10 === 0), "st05_b1.parquet")
       stage(delta.where(col("doc_id") % 10 =!= 0), "st05_b2.parquet")
+      // st06 arriving-training-doc micro-batches (the streaming
+      // decontamination probe): the d16 TRAIN side, split in two
+      val train = t(s, d, "documents").where(col("doc_id") % 43 =!= 0)
+      stage(train.where(col("doc_id") % 2 === 0), "st06_b1.parquet")
+      stage(train.where(col("doc_id") % 2 =!= 0), "st06_b2.parquet")
     })
     dir
   }
@@ -1079,24 +1084,28 @@ object Queries {
             |  'near_dedup', s5_d, s5_t) AS (stage, n_docs, n_tokens)""".stripMargin))
     })
 
-  /** Shared 13-gram derivation for the decontamination pair (d16/d17):
-    * distinct char-13-grams of every doc, xxhash64'd to 8-byte keys, with
-    * the deterministic eval-slice marker (doc_id % 43 — the held-out
-    * "benchmark" at ~2% of the corpus). */
-  private def deconGrams(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").where(length(col("text")) >= 13)
-      .select(col("doc_id"), (col("doc_id") % 43 === 0).as("ev"),
+  /** Distinct char-13-grams of (doc_id, text) rows, xxhash64'd to 8-byte
+    * keys — the shared shingle kernel of the decontamination family
+    * (d16/d17/d18/st06). */
+  private def gramHashes(docs: DataFrame): DataFrame =
+    docs.where(length(col("text")) >= 13)
+      .select(col("doc_id"),
         explode(expr("array_distinct(transform(sequence(1, length(text)-12), i -> substring(text, i, 13)))")).as("gram"))
-      .select(col("doc_id"), col("ev"), xxhash64(col("gram")).as("gh"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
 
-  /** d16's body (also feeds d18's funnel): per-train-doc eval-gram
-    * overlap via the broadcast membership join. */
-  private def deconOverlap(s: SparkSession, d: String): DataFrame = {
-    val docs = deconGrams(s, d)
-    val evalGrams = docs.where(col("ev"))
-      .select(col("gh")).distinct().withColumn("hit", lit(1L))
-    docs.where(!col("ev"))
-      .join(broadcast(evalGrams), Seq("gh"), "left")
+  /** [[gramHashes]] over the documents table with the deterministic
+    * eval-slice marker (doc_id % 43 — the held-out "benchmark" at ~2% of
+    * the corpus). */
+  private def deconGrams(s: SparkSession, d: String): DataFrame =
+    gramHashes(t(s, d, "documents"))
+      .withColumn("ev", col("doc_id") % 43 === 0)
+
+  /** Per-doc eval-gram overlap score via the broadcast membership join —
+    * the confirm shared by d16 (one-shot) and st06 (per micro-batch);
+    * per-doc independence is what makes the two provably equal.
+    * `evalGrams` must be the distinct eval gh set with a `hit` marker. */
+  private def deconScore(grams: DataFrame, evalGrams: DataFrame): DataFrame =
+    grams.join(broadcast(evalGrams), Seq("gh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
@@ -1105,6 +1114,13 @@ object Queries {
       .withColumn("contaminated", col("overlap") >= 0.5)
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         col("overlap"), col("contaminated"))
+
+  /** d16's body (also feeds d18's funnel). */
+  private def deconOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = deconGrams(s, d)
+    deconScore(docs.where(!col("ev")),
+      docs.where(col("ev")).select(col("gh")).distinct()
+        .withColumn("hit", lit(1L)))
   }
 
   private val docDedupOracles: Map[String, String] = Map(
@@ -2317,6 +2333,45 @@ object Queries {
       // partition discovery surfaces batch_id; it is sink bookkeeping,
       // not part of the decision schema
       s.read.parquet(outDir).select("new_id", "dup_of", "jac_est")
+    },
+    // streaming decontamination — d16's continuous-ingest twin (the
+    // st05↔d12 relationship replayed on the decontamination tier):
+    // training docs ARRIVE as micro-batches and are scored against the
+    // PERSISTED eval-gram index (built once, broadcast into every
+    // batch's membership join). The per-doc overlap is independent of
+    // batching, so the union of per-batch outputs provably equals d16's
+    // one-shot answer — st06 shares d16's oracle, and the spec asserts
+    // the set equality. Exactly-once via batchId-keyed idempotent
+    // overwrite, same as st05.
+    "st06_stream_decontaminate" -> { (s, d) =>
+      import java.nio.file.Files
+      val docs = t(s, d, "documents")
+      val evalGrams = dumpDerived(s, d, "decon_eval_grams")(
+        deconGrams(s, d).where(col("ev")).select(col("gh")).distinct())
+        .withColumn("hit", lit(1L))
+      val staged = stagedStreamBatches(s, d)
+      val inDir = Files.createTempDirectory("st06_in")
+      val outDir = Files.createTempDirectory("st06_out").toString
+      val ckpt = Files.createTempDirectory("st06_ckpt").toString
+      copyBatch(staged.resolve("st06_b1.parquet"), inDir, "b1.parquet", 0L)
+      copyBatch(staged.resolve("st06_b2.parquet"), inDir, "b2.parquet", 60000L)
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            deconScore(gramHashes(batch), evalGrams)
+              .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.read.parquet(outDir)
+        .select("doc_id", "n_grams", "n_hit", "overlap", "contaminated")
     })
 
   /** Session gap (micros): a quiet period longer than this closes the
@@ -2406,6 +2461,9 @@ object Queries {
     // the streaming probe's decisions must equal d12's one-shot batch
     // answer — same index, same kernel, same rule, shared oracle SQL
     "st05_stream_incr_dedup" -> docDedupOracles("d12_incremental_dedup"),
+    // streaming decontamination provably equals the one-shot d16 (per-doc
+    // overlap is batching-independent) — same oracle
+    "st06_stream_decontaminate" -> docDedupOracles("d16_decontaminate"),
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,

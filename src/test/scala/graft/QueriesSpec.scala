@@ -405,6 +405,18 @@ class QueriesSpec extends AnyFunSuite {
     info(s"st05 == d12: ${stream.size} decisions across 2 micro-batches")
   }
 
+  test("st06 streaming decontamination equals d16's one-shot answer") {
+    def scores(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4))).toSet
+    val stream = scores("st06_stream_decontaminate")
+    val batch = scores("d16_decontaminate")
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+    info(s"st06 == d16: ${stream.size} per-doc scores across 2 micro-batches")
+  }
+
   test("e05 clusters every brute-force near-dup pair together; labels are min-ids") {
     val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
