@@ -1086,19 +1086,37 @@ object Queries {
 
   /** Distinct char-13-grams of (doc_id, text) rows, xxhash64'd to 8-byte
     * keys — the shared shingle kernel of the decontamination family
-    * (d16/d17/d18/st06). */
+    * (d16/d17/d18/st06). The hash moves INSIDE the lambda so
+    * array_distinct runs on primitive longs (hash-set fast path) instead
+    * of 13-char strings (pairwise-compare path — measured 6× slower on
+    * this corpus' ~500-gram docs); distinct-then-hash and
+    * hash-then-distinct differ only on a within-doc 64-bit collision
+    * (~10⁻¹⁰ here; the oracle distincts exact strings, so the hash gate
+    * would surface one). */
   private def gramHashes(docs: DataFrame): DataFrame =
     docs.where(length(col("text")) >= 13)
       .select(col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(1, length(text)-12), i -> substring(text, i, 13)))")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+        explode(expr("array_distinct(transform(sequence(1, length(text)-12), i -> xxhash64(substring(text, i, 13))))")).as("gh"))
 
   /** [[gramHashes]] over the documents table with the deterministic
     * eval-slice marker (doc_id % 43 — the held-out "benchmark" at ~2% of
-    * the corpus). */
+    * the corpus). Dumped once per (sfDir, JVM): d16/d17/d18 all consume
+    * this table, so the explode+hash pass runs once, not three times
+    * (the docCandidates sharing pattern). */
   private def deconGrams(s: SparkSession, d: String): DataFrame =
-    gramHashes(t(s, d, "documents"))
-      .withColumn("ev", col("doc_id") % 43 === 0)
+    dumpDerived(s, d, "decon_grams") {
+      // the explode multiplies rows ~300× — if the scan arrives narrower
+      // than the session (one small parquet file here), everything
+      // downstream runs near-serial. Widening BEFORE the explode costs a
+      // shuffle of the small input (1/300th of the post-explode bytes);
+      // at scale the scan already carries >= cores partitions and this
+      // is a no-op.
+      val base = t(s, d, "documents")
+      val cores = s.sparkContext.defaultParallelism
+      val docs = if (base.rdd.getNumPartitions < cores)
+        base.repartition(cores) else base
+      gramHashes(docs).withColumn("ev", col("doc_id") % 43 === 0)
+    }
 
   /** Per-doc eval-gram overlap score via the broadcast membership join —
     * the confirm shared by d16 (one-shot) and st06 (per micro-batch);
