@@ -1022,9 +1022,13 @@ object Queries {
     "d17_decontaminate_bloom" -> { (s, d) =>
       graft.functions.GraftExtensions.register(s)
       deconGrams(s, d).createOrReplaceTempView("decon_grams")
+      // bloom sized from table statistics (the memoized row-count
+      // stand-in): eval slice ≈ rows/43, ~300 distinct grams each. An
+      // overestimate only lowers FPP; Spark caps the filter's numBits.
+      val est = math.max(16384L, tableRows(s, d, "documents") * 7L)
       s.sql(
-        """WITH eg AS (SELECT DISTINCT gh FROM decon_grams WHERE ev),
-          |bloom AS (SELECT graft_bloom_agg(gh, CAST(16384 AS BIGINT)) AS bf FROM eg),
+        s"""WITH eg AS (SELECT DISTINCT gh FROM decon_grams WHERE ev),
+          |bloom AS (SELECT graft_bloom_agg(gh, CAST($est AS BIGINT)) AS bf FROM eg),
           |tg AS (SELECT doc_id, gh FROM decon_grams WHERE NOT ev),
           |per_doc AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
           |survivors AS (
