@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev tool: stage-by-stage wall timing of a query's building blocks
-  * (used to localize unexpected per-query bench cost; not part of the
-  * library surface). */
+/** Dev tool: stage-by-stage wall timing of the decontamination family's
+  * building blocks (used to localize unexpected per-query bench cost;
+  * not part of the library surface). Reuses the SAME kernels the
+  * registered queries run ([[Queries.gramHashes]]/[[Queries.deconScore]])
+  * so the timings correspond to the real stages. */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -23,24 +25,17 @@ object DevProbe {
     }
     val docs = spark.read.parquet(s"$d/documents.parquet")
     time("scan count")(docs.count())
-    val grams = docs.where(length(col("text")) >= 13)
-      .select(col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(1, length(text)-12), i -> xxhash64(substring(text, i, 13))))")).as("gh"))
+    val grams = Queries.gramHashes(docs)
+      .withColumn("ev", col("doc_id") % 43 === 0)
     time("gram explode count")(grams.count())
     time("gram explode count again")(grams.count())
-    val withEv = grams.withColumn("ev", col("doc_id") % 43 === 0)
-    time("dump write")(withEv.write.mode("overwrite")
+    time("dump write")(grams.write.mode("overwrite")
       .parquet("/tmp/probe_decon.parquet"))
     val dumped = spark.read.parquet("/tmp/probe_decon.parquet")
     val eg = dumped.where(col("ev")).select(col("gh")).distinct()
       .withColumn("hit", lit(1L))
     time("eval distinct count")(eg.count())
-    val scored = dumped.where(!col("ev"))
-      .join(broadcast(eg), Seq("gh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .where(col("n_hit") > 0)
+    val scored = Queries.deconScore(dumped.where(!col("ev")), eg)
     time("score")(scored.write.format("noop").mode("overwrite").save())
     time("score again")(scored.write.format("noop").mode("overwrite").save())
     spark.stop()

@@ -1097,7 +1097,7 @@ object Queries {
     * hash-then-distinct differ only on a within-doc 64-bit collision
     * (~10⁻¹⁰ here; the oracle distincts exact strings, so the hash gate
     * would surface one). */
-  private def gramHashes(docs: DataFrame): DataFrame =
+  private[graft] def gramHashes(docs: DataFrame): DataFrame =
     docs.where(length(col("text")) >= 13)
       .select(col("doc_id"),
         explode(expr("array_distinct(transform(sequence(1, length(text)-12), i -> xxhash64(substring(text, i, 13))))")).as("gh"))
@@ -1126,7 +1126,7 @@ object Queries {
     * the confirm shared by d16 (one-shot) and st06 (per micro-batch);
     * per-doc independence is what makes the two provably equal.
     * `evalGrams` must be the distinct eval gh set with a `hit` marker. */
-  private def deconScore(grams: DataFrame, evalGrams: DataFrame): DataFrame =
+  private[graft] def deconScore(grams: DataFrame, evalGrams: DataFrame): DataFrame =
     grams.join(broadcast(evalGrams), Seq("gh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
