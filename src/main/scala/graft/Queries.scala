@@ -583,6 +583,28 @@ object Queries {
         .where(col("cum_tokens") <= 120)
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_tokens"), col("cum_tokens"))
+    },
+    // QUALITY-PERCENTILE CUTOFF — the scale path t10's scaladoc promises
+    // for COARSE strata (few groups → a per-group total order would
+    // serialize): two fully parallel passes instead of a sort. Pass 1
+    // aggregates each lang's exact P75 quality (Spark's `percentile` —
+    // map-side partial agg); pass 2 broadcasts the tiny cutoff table
+    // back and filters. Keeps the top quality quartile per language with
+    // no window and no per-group ordering anywhere in the plan. The
+    // interpolated cutoff is computed from identical IEEE doubles in
+    // both engines (lower + (upper−lower)·frac), so the >= boundary is
+    // exact cross-engine — the oracle's hash gate proves it per run.
+    "t11_quality_cutoff" -> { (s, d) =>
+      val scored = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).as("n_tokens"),
+          size(filter(toks(col("text")), x => x === "the" || x === "a")).as("n_stop"))
+        .withColumn("q", col("n_stop") * lit(1.0) / col("n_tokens"))
+      val cuts = scored.groupBy(col("lang"))
+        .agg(expr("percentile(q, 0.75)").as("cut"))
+      scored.join(broadcast(cuts), "lang")
+        .where(col("q") >= col("cut"))
+        .select(col("doc_id"), col("lang"),
+          round(col("q"), 6).as("quality"), round(col("cut"), 6).as("cutoff"))
     })
 
   private val textOracles: Map[String, String] = Map(
@@ -641,6 +663,18 @@ object Queries {
         |  FROM b)
         |SELECT doc_id, lang, source, n_tokens, cum_tokens FROM r
         |WHERE cum_tokens <= 120""".stripMargin,
+    "t11_quality_cutoff" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        x -> x = 'the' OR x = 'a')) AS n_stop
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, n_stop*1.0/n_tokens AS q FROM b),
+        |c AS (SELECT lang, quantile_cont(q, 0.75) AS cut FROM s GROUP BY lang)
+        |SELECT s.doc_id, s.lang, round(s.q, 6) AS quality,
+        |  round(c.cut, 6) AS cutoff
+        |FROM s JOIN c USING (lang) WHERE s.q >= c.cut""".stripMargin,
     "t01_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,

@@ -335,6 +335,33 @@ class QueriesSpec extends AnyFunSuite {
         got.values.groupBy(_._2).view.mapValues(_.size).toMap})")
   }
 
+  test("t11 keeps exactly the at/above-P75 docs per lang with no ordering in the plan") {
+    val df = SparkEntry.queries("t11_quality_cutoff")(spark, sf)
+    // the point of the cutoff formulation: NO window and NO sort-merge —
+    // an agg pass plus a broadcast-back filter, both fully parallel
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val got = df.collect().map(r => r.getLong(0)).toSet
+    // local recount with the exact interpolated-percentile rule
+    val scored = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect().map { r =>
+        val tk = r.getString(2).split(" ").filter(_.nonEmpty)
+        (r.getLong(0), r.getString(1),
+          tk.count(x => x == "the" || x == "a").toDouble / tk.length)
+      }
+    val want = scored.groupBy(_._2).flatMap { case (_, docs) =>
+      val s = docs.map(_._3).sorted
+      val h = 0.75 * (s.length - 1)
+      val cut = s(h.floor.toInt) + (s(h.ceil.toInt) - s(h.floor.toInt)) * (h - h.floor)
+      docs.filter(_._3 >= cut).map(_._1).toSeq
+    }.toSet
+    assert(got == want, s"got-only: ${(got -- want).take(5)}; want-only: ${(want -- got).take(5)}")
+    info(s"t11: kept ${got.size} of ${scored.length} docs across ${
+      scored.map(_._2).distinct.length} langs")
+  }
+
   test("d18 curation manifest is a strict funnel whose stages cross-check the source queries") {
     val m = SparkEntry.queries("d18_curation_manifest")(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
