@@ -605,9 +605,80 @@ object Queries {
         .where(col("q") >= col("cut"))
         .select(col("doc_id"), col("lang"),
           round(col("q"), 6).as("quality"), round(col("cut"), 6).as("cutoff"))
+    },
+    // INTRA-DOCUMENT REPETITION — the Gopher/MassiveText repetition-filter
+    // family (Rae et al. 2021 §A1.1: duplicate n-gram and top-n-gram
+    // fractions), the per-row complement of d13's CORPUS-level repeated
+    // spans: a doc that repeats ITSELF is low-quality even when nothing
+    // else in the corpus shares its text. Everything here is higher-order
+    // array functions over the row's own token array — per-row codegen,
+    // ZERO shuffle at any scale (the 100-TB form is a map-only pass). The
+    // nested-lambda counts are O(n·distinct) per row, bounded by the same
+    // doc-length cap the sketch tier already assumes (4096 chars). The
+    // synthetic corpus has no newlines, so the paper's duplicate-LINE
+    // rules instantiate at their n-gram members (top 2-gram, dup 3-gram —
+    // 3 because it is the shortest order this corpus actually repeats
+    // within documents, so the dup-fraction path is exercised, not
+    // vacuously zero).
+    "t12_doc_repetition" -> { (s, d) =>
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), toks(col("text")).as("ws"))
+        .withColumn("n_words", size(col("ws")))
+      val bigrams = when(col("n_words") >= 2,
+        transform(sequence(lit(0), col("n_words") - 2),
+          i => concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val grams3 = when(col("n_words") >= 3,
+        transform(sequence(lit(0), col("n_words") - 3),
+          i => array_join(slice(col("ws"), i + 1, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))
+      base.withColumn("bg", bigrams).withColumn("g3", grams3)
+        .withColumn("top_bigram_n",
+          coalesce(array_max(transform(array_distinct(col("bg")),
+            g => size(filter(col("bg"), x => x === g)))), lit(0)))
+        .withColumn("n_dup_g3",
+          size(filter(col("g3"),
+            x => size(filter(col("g3"), y => y === x)) >= 2)))
+        .select(col("doc_id"), col("n_words"),
+          size(array_distinct(col("ws"))).as("n_distinct_words"),
+          round(size(array_distinct(col("ws"))) * lit(1.0) /
+            greatest(col("n_words"), lit(1)), 6).as("distinct_frac"),
+          col("top_bigram_n"), col("n_dup_g3"),
+          round(col("n_dup_g3") * lit(1.0) /
+            greatest(col("n_words") - 2, lit(1)), 6).as("dup_g3_frac"))
     })
 
   private val textOracles: Map[String, String] = Map(
+    "t12_doc_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, ws, len(ws) AS n_words FROM w),
+        |g AS (
+        |  SELECT doc_id, n_words, ws,
+        |    CASE WHEN n_words >= 2 THEN
+        |      list_transform(range(1, n_words), i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE [] END AS bg,
+        |    CASE WHEN n_words >= 3 THEN
+        |      list_transform(range(1, n_words - 1),
+        |        i -> array_to_string(ws[i:i+2], ' '))
+        |    ELSE [] END AS g3
+        |  FROM b),
+        |m AS (
+        |  SELECT doc_id, n_words,
+        |    len(list_distinct(ws)) AS n_distinct_words,
+        |    coalesce(list_max(list_transform(list_distinct(bg),
+        |      g2 -> len(list_filter(bg, x -> x = g2)))), 0) AS top_bigram_n,
+        |    len(list_filter(g3,
+        |      x -> len(list_filter(g3, y -> y = x)) >= 2)) AS n_dup_g3
+        |  FROM g)
+        |SELECT doc_id, n_words, n_distinct_words,
+        |  round(n_distinct_words * 1.0 / greatest(n_words, 1), 6) AS distinct_frac,
+        |  top_bigram_n, n_dup_g3,
+        |  round(n_dup_g3 * 1.0 / greatest(n_words - 2, 1), 6) AS dup_g3_frac
+        |FROM m""".stripMargin,
     // the doubled '' is a single quote inside the DuckDB string literal;
     // RE2 and Java regex agree on every construct used here
     "t07_bpe_tokens" ->
@@ -1599,6 +1670,22 @@ object Queries {
       val nodes = t(s, d, "embeddings").select(col("vec_id").as("id"))
       ConnectedComponents.labelAll(nodes, edges)
         .select(col("id").as("vec_id"), col("component").as("cluster"))
+    },
+    // SEMANTIC dedup (SemDeDup) — the third embedding-dedup shape next to
+    // e02/e03's pair evidence and e05's transitive clusters: partition by
+    // the k-means cells e04 already trains, prune within each cell, keep
+    // the member farthest from its centroid (boundary diversity survives,
+    // the redundant cluster core is dropped). Semantics, determinism, and
+    // the per-cell (never all-pairs) cost bound are documented on
+    // [[Similarity.semanticDedup]]. The oracle re-derives home cells,
+    // centroid-cos ranking, and the earlier-neighbor dominance rule from
+    // the dumped codebook + the raw table.
+    "e07_semantic_dedup" -> { (s, d) =>
+      val (codebook, assign) = ivfModel(s, d)
+      Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          codebook, assign, minCos = 0.4)
+        .select(col("id").as("vec_id"), col("cell"), col("ccos"),
+          col("rk"), col("keep"))
     })
 
   /** The e04 IVF top-k pipeline, final result dumped once per (sfDir,
@@ -1630,8 +1717,11 @@ object Queries {
     dumpDerived(s, d, "e01_topk")(
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5))
 
-  private[graft] def ivfTopK(s: SparkSession, d: String,
-      dumpResult: Boolean = true): DataFrame = {
+  /** The trained IVF (codebook, home/probe assignment), each dumped once
+    * per (sfDir, JVM) — shared by e04's search, e06's audit, and e07's
+    * semantic-dedup prune so the Lloyd rounds and the assignment flop
+    * pass run once per sweep however many consumers read them. */
+  private def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = t(s, d, "embeddings")
     val nRows = tableRows(s, d, "embeddings")
     val nCells = math.max(4, math.min(32, (nRows / 16).toInt))
@@ -1642,6 +1732,13 @@ object Queries {
     val assign = dumpDerived(s, d, "e04_assign")(
       Similarity.ivfAssign(emb, "vec_id", "embedding", codebook,
         nProbe = math.min(8, nCells)))
+    (codebook, assign)
+  }
+
+  private[graft] def ivfTopK(s: SparkSession, d: String,
+      dumpResult: Boolean = true): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val (_, assign) = ivfModel(s, d)
     val search = Similarity.ivfSearch(emb, "vec_id", "embedding", assign, k = 5)
     // dumpResult=false returns the live search plan (spec plan probes);
     // the registered query dumps so e04 and the e06 audit share one run
@@ -1741,6 +1838,36 @@ object Queries {
         |FROM bf LEFT JOIN iv
         |  ON iv.vec_id = bf.vec_id AND iv.neighbor = bf.neighbor
         |GROUP BY bf.vec_id""".stripMargin,
+    // full SemDeDup replica from the raw table + the dumped codebook:
+    // home-cell assignment exactly as e04's (round-6 csim, crk = 1), the
+    // per-cell (centroid-cos asc, id) rank, and the earlier-neighbor
+    // dominance drop rule — every engine-side decision re-derived
+    "e07_semantic_dedup" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cv AS (SELECT cell, cv::DOUBLE[] AS ce
+        |       FROM read_parquet(${oraclePath("e04_centroids")})),
+        |scored AS (
+        |  SELECT v.vec_id AS id, cv.cell,
+        |    round(list_dot_product(v.e, cv.ce) /
+        |      sqrt(list_dot_product(v.e, v.e) * list_dot_product(cv.ce, cv.ce)), 6) AS csim
+        |  FROM v CROSS JOIN cv),
+        |homed AS (
+        |  SELECT id, cell, csim,
+        |    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell) AS crk
+        |  FROM scored),
+        |items AS (
+        |  SELECT id, cell, csim AS ccos,
+        |    row_number() OVER (PARTITION BY cell ORDER BY csim ASC, id) AS rk
+        |  FROM homed WHERE crk = 1),
+        |drops AS (
+        |  SELECT DISTINCT a.id
+        |  FROM items a JOIN items b ON a.cell = b.cell AND b.rk < a.rk
+        |  JOIN v va ON va.vec_id = a.id JOIN v vb ON vb.vec_id = b.id
+        |  WHERE round(list_dot_product(va.e, vb.e) /
+        |    sqrt(list_dot_product(va.e, va.e) * list_dot_product(vb.e, vb.e)), 6) >= 0.4)
+        |SELECT i.id AS vec_id, i.cell, i.ccos, i.rk,
+        |  CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS keep
+        |FROM items i LEFT JOIN drops d ON d.id = i.id""".stripMargin,
     // independent clustering replica: exact brute-force edge set (the
     // same gate e03 passes at recall 1.0) closed transitively, min-id
     // component labels, absent vectors as singletons — the d06 pattern

@@ -418,4 +418,53 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, k: Int, nProbe: Int): DataFrame =
     ivfSearch(df, idCol, vecCol, ivfAssign(df, idCol, vecCol, codebook, nProbe), k)
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * partition the table into the k-means cells the IVF machinery already
+    * trains, then prune WITHIN each cell — two rows are semantic dups when
+    * their cosine clears `minCos`, and of each dup group the member
+    * FARTHEST from its centroid survives (the paper's keep-low-centroid-
+    * similarity rule: it preserves the cluster's boundary diversity and
+    * discards its redundant core).
+    *
+    * Deterministic formulation (no sequential greedy chain, so the whole
+    * rule stays declarative and cross-engine replicable): order each cell
+    * by (centroid-cos asc, id); a row is DROPPED iff some STRICTLY EARLIER
+    * row of its cell is within `minCos` of it. Centroid-cos values are
+    * rounded to 6 digits by the shared kernel before ranking, so the order
+    * — and therefore the keep set — is bit-stable across engines.
+    *
+    * Scale: the only all-pairs work is per-cell, and [[ivfTrain]] sizes
+    * cell count with the table (≈16 rows/cell), so candidate work is
+    * O(n·cellsize), never O(n²); the codebook join is broadcast; the one
+    * data shuffle keys on `cell`. A pathologically hot cell at production
+    * scale is handled the same way the LSH path caps hot buckets — split
+    * the cell by re-running Lloyd on it (not needed at any tested scale).
+    *
+    * Returns one row per input id: (id, cell, ccos, rk, keep 1/0). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, assign: DataFrame, minCos: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val cent = codebook.select(col("cell"), col("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+    val items = assign.where(col("crk") === 1).select(col("id"), col("cell"))
+      .join(v, "id")
+      .join(broadcast(cent), "cell")
+      .withColumn("ccos", cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")))
+      .select(col("id"), col("cell"), col("ccos"), col("v"), col("nrm"))
+    val wr = Window.partitionBy(col("cell")).orderBy(col("ccos").asc, col("id"))
+    val ranked = items.withColumn("rk", row_number().over(wr))
+    val a = ranked.select(col("cell"), col("id").as("ia"), col("rk").as("ra"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = ranked.select(col("cell"), col("rk").as("rb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val drops = a.join(b, Seq("cell"))
+      .where(col("rb") < col("ra") &&
+        cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")) >= minCos)
+      .select(col("ia").as("id")).distinct()
+    ranked.join(drops.withColumn("dropped", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cell"), col("ccos"), col("rk"),
+        when(col("dropped").isNull, lit(1)).otherwise(lit(0)).as("keep"))
+  }
 }

@@ -466,6 +466,61 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("e07 semantic dedup: dominance rule recomputed exactly; one row per vector") {
+    val out = SparkEntry.queries("e07_semantic_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getAs[Number]("cell").longValue,
+        r.getDouble(2), r.getAs[Number]("rk").intValue,
+        r.getAs[Number]("keep").intValue)))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.length == emb.size, "one keep/drop verdict per vector")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // within each cell, rk must be the dense (ccos asc, id) order, and a
+    // row is dropped IFF a strictly-earlier same-cell row is within tau —
+    // the entire keep set recomputed brute-force from raw vectors
+    out.groupBy(_._2._1).foreach { case (cell, members) =>
+      val sorted = members.sortBy { case (id, (_, ccos, _, _)) => (ccos, id) }
+      sorted.zipWithIndex.foreach { case ((id, (_, _, rk, keep)), idx) =>
+        assert(rk == idx + 1, s"cell $cell id $id rank $rk != ${idx + 1}")
+        val dominated = sorted.take(idx).exists { case (ej, _) =>
+          cos(emb(id), emb(ej)) >= 0.4 }
+        assert((keep == 0) == dominated,
+          s"cell $cell id $id keep=$keep but dominated=$dominated")
+      }
+    }
+    val dropped = out.count(_._2._4 == 0)
+    info(s"e07: ${out.length - dropped} kept / $dropped dropped over ${out.length}")
+  }
+
+  test("t12 repetition stats: per-row recompute from raw text matches exactly") {
+    val out = SparkEntry.queries("t12_doc_repetition")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+    assert(out.size == docs.length)
+    var exercised = 0
+    docs.foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val bg = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toArray
+      val g3 = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toArray
+      val topBg = if (bg.isEmpty) 0 else bg.groupBy(identity).values.map(_.length).max
+      val dupG3 = g3.count(g => g3.count(_ == g) >= 2)
+      val o = out(id)
+      assert(o.getInt(1) == ws.length, s"doc $id n_words")
+      assert(o.getInt(2) == ws.distinct.length, s"doc $id n_distinct_words")
+      assert(o.getInt(4) == topBg, s"doc $id top_bigram_n")
+      assert(o.getInt(5) == dupG3, s"doc $id n_dup_g3")
+      if (dupG3 > 0) exercised += 1
+    }
+    info(s"t12: $exercised docs with intra-doc repeated 3-grams")
+  }
+
   test("e04 IVF recovers >=90% of true near-dup pairs at a bounded scan fraction") {
     val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
