@@ -33,7 +33,8 @@ object PlanAudit {
       "d15_sketch_error_audit", "t06_unigram_logprob",
       "t09_stratified_sample", "e06_ann_recall",
       "m07_clip_neardup_pairs", "d16_decontaminate",
-      "d17_decontaminate_bloom").foreach(dump)
+      "d17_decontaminate_bloom", "e07_semantic_dedup",
+      "t12_doc_repetition").foreach(dump)
     spark.stop()
   }
 }

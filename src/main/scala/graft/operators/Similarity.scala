@@ -437,9 +437,15 @@ object Similarity {
     * Scale: the only all-pairs work is per-cell, and [[ivfTrain]] sizes
     * cell count with the table (≈16 rows/cell), so candidate work is
     * O(n·cellsize), never O(n²); the codebook join is broadcast; the one
-    * data shuffle keys on `cell`. A pathologically hot cell at production
-    * scale is handled the same way the LSH path caps hot buckets — split
-    * the cell by re-running Lloyd on it (not needed at any tested scale).
+    * data shuffle keys on `cell` and carries ONLY (ccos, id) — the vector
+    * payload never rides a shuffle. In-cell ordering and the ordered pair
+    * set both come out of one sorted `collect_list` per cell (the
+    * [[Lsh.candidatePairsCapped]] idiom: pairs are id-only; vectors hash-
+    * join back per side), so there is no windowed self-join recomputing
+    * the membership subtree per consumer. A pathologically hot cell at
+    * production scale is handled the same way the LSH path caps hot
+    * buckets — split the cell by re-running Lloyd on it (not needed at
+    * any tested scale).
     *
     * Returns one row per input id: (id, cell, ccos, rk, keep 1/0). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
@@ -448,21 +454,34 @@ object Similarity {
       .withColumn("nrm", dot(col("v"), col("v")))
     val cent = codebook.select(col("cell"), col("cv"))
       .withColumn("cn", dot(col("cv"), col("cv")))
-    val items = assign.where(col("crk") === 1).select(col("id"), col("cell"))
+    // slim membership (id, cell, ccos): assignment rows + broadcast
+    // centroids; the only columns that reach the cell shuffle
+    val slim = assign.where(col("crk") === 1).select(col("id"), col("cell"))
       .join(v, "id")
       .join(broadcast(cent), "cell")
-      .withColumn("ccos", cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")))
-      .select(col("id"), col("cell"), col("ccos"), col("v"), col("nrm"))
-    val wr = Window.partitionBy(col("cell")).orderBy(col("ccos").asc, col("id"))
-    val ranked = items.withColumn("rk", row_number().over(wr))
-    val a = ranked.select(col("cell"), col("id").as("ia"), col("rk").as("ra"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = ranked.select(col("cell"), col("rk").as("rb"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val drops = a.join(b, Seq("cell"))
-      .where(col("rb") < col("ra") &&
-        cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")) >= minCos)
-      .select(col("ia").as("id")).distinct()
+      .select(col("id"), col("cell"),
+        cosineWithNorms(dot(col("v"), col("cv")), col("nrm"), col("cn")).as("ccos"))
+    // ONE shuffle keyed on cell: the sorted (ccos, id) member list per
+    // cell yields both the rank table and the ordered pair set
+    val grouped = slim.groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("ccos"), col("id")))).as("ms"))
+    val ranked = grouped
+      .select(col("cell"), posexplode(col("ms")))
+      .select(col("col.id").as("id"), col("cell"),
+        col("col.ccos").as("ccos"), (col("pos") + 1).as("rk"))
+    // ordered in-cell pairs: pa strictly earlier than pb in (ccos, id)
+    // order; id-only until the two vector hash-joins below
+    val pairs = grouped
+      .select(transform(col("ms"), m => m.getField("id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(col("ids"), explode(sequence(lit(0), size(col("ids")) - 2)).as("i"))
+      .select(element_at(col("ids"), col("i") + 1).as("pa"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("pb"))
+    val va = v.select(col("id").as("pa"), col("v").as("va"), col("nrm").as("na"))
+    val vb = v.select(col("id").as("pb"), col("v").as("vb"), col("nrm").as("nb"))
+    val drops = pairs.join(va, "pa").join(vb, "pb")
+      .where(cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")) >= minCos)
+      .select(col("pb").as("id")).distinct()
     ranked.join(drops.withColumn("dropped", lit(1)), Seq("id"), "left")
       .select(col("id"), col("cell"), col("ccos"), col("rk"),
         when(col("dropped").isNull, lit(1)).otherwise(lit(0)).as("keep"))
