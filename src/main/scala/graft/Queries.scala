@@ -149,6 +149,15 @@ object Queries {
       val train = t(s, d, "documents").where(col("doc_id") % 43 =!= 0)
       stage(train.where(col("doc_id") % 2 === 0), "st06_b1.parquet")
       stage(train.where(col("doc_id") % 2 =!= 0), "st06_b2.parquet")
+      // st07 arriving-image micro-batches (the streaming image near-dup
+      // probe): m09's delta slice, split in two by a second hash
+      val newImgs = graft.sources.SyntheticCorpus.corpus(s, corpusRows(d)).toDF()
+        .where(pmod(xxhash64(col("image_id")), lit(7)) === 0)
+        .select(col("image_id"), col("phash"))
+      stage(newImgs.where(pmod(xxhash64(concat(col("image_id"), lit("|s"))),
+        lit(2)) === 0), "st07_b1.parquet")
+      stage(newImgs.where(pmod(xxhash64(concat(col("image_id"), lit("|s"))),
+        lit(2)) =!= 0), "st07_b2.parquet")
     })
     dir
   }
@@ -2122,7 +2131,56 @@ object Queries {
         .agg(count(lit(1)).as("n_eval_matches"),
           min(col("ham")).as("min_ham"),
           min(col("eval_id")).as("first_eval_id"))
+    },
+    // INCREMENTAL image near-dup probe — the d12/st05 delta-vs-index
+    // relationship replayed on the IMAGE modality: newly ingested images
+    // (a deterministic ~1/7 hash split standing in for the arriving
+    // slice) probe the PERSISTED corpus band index; the corpus itself is
+    // never re-banded or re-shuffled per delta. Candidacy uses the same
+    // radius-2 Manku joint keys as m08 (ham ≤ 2 recall GUARANTEED by
+    // pigeonhole), confirm is the codegen'd 64-bit Hamming kernel. The
+    // oracle brute-forces ALL new×corpus pairs from the dumped phashes —
+    // equality re-proves the banding recall guarantee on data, exactly
+    // as m08's does.
+    "m09_incremental_image_neardup" -> { (s, d) =>
+      val (ph, corpusBands) = m09Parts(s, d)
+      probeImageBands(ph.where(col("nw"))
+        .select(col("image_id"), col("phash")), corpusBands)
     })
+
+  /** m09/st07 shared sides, each dumped once per (sfDir, JVM): the tagged
+    * phash table (nw = the arriving delta slice) and the PERSISTED corpus
+    * band index the delta probes — at production scale the index is the
+    * artifact an ingest pipeline maintains; here the dump makes the batch
+    * probe and its streaming twin read the identical static side. */
+  private def m09Parts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ph = dumpDerived(s, d, "m09_phashes")(
+      SyntheticCorpus.corpus(s, corpusRows(d)).toDF()
+        .select(col("image_id"), col("phash"),
+          (pmod(xxhash64(col("image_id")), lit(7)) === 0).as("nw")))
+    val corpusBands = dumpDerived(s, d, "m09_corpus_bands")(
+      ph.where(!col("nw"))
+        .select(col("image_id").as("old_id"), col("phash").as("old_phash"),
+          explode(GraftFunctions.fingerprintBandsHamming2(col("phash"))).as("bk"))
+        .select(col("bk"), col("old_id"), col("old_phash")))
+    (ph, corpusBands)
+  }
+
+  /** One delta slice of images probed against the persisted corpus band
+    * index: band → candidate join on the key → Hamming confirm → per-new-
+    * image rollup. Batching-independent by construction (each decision
+    * reads only the static index), which is what makes the st07 streaming
+    * union provably equal m09's one-shot answer. */
+  private def probeImageBands(newImgs: DataFrame, corpusBands: DataFrame): DataFrame =
+    newImgs.select(col("image_id"), col("phash"),
+        explode(GraftFunctions.fingerprintBandsHamming2(col("phash"))).as("bk"))
+      .join(corpusBands, "bk")
+      .withColumn("ham", GraftFunctions.hamming64(col("phash"), col("old_phash")))
+      .where(col("ham") <= 2)
+      .select(col("image_id"), col("old_id"), col("ham")).distinct()
+      .groupBy(col("image_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("ham")).as("min_ham"),
+        min(col("old_id")).as("first_dup_id"))
 
   /**
    * Regression-frozen oracle constants for the fixed synthetic corpus
@@ -2229,6 +2287,18 @@ object Queries {
          |  FROM p t JOIN p e ON e.ev AND NOT t.ev)
          |SELECT image_id, count(*) AS n_eval_matches, min(ham) AS min_ham,
          |  min(eval_id) AS first_eval_id
+         |FROM pairs WHERE ham <= 2 GROUP BY image_id""".stripMargin,
+    // brute-force new×corpus Hamming replica from the dumped phashes —
+    // banded-output equality re-proves the radius-2 key recall guarantee
+    "m09_incremental_image_neardup" ->
+      s"""WITH p AS (SELECT image_id, phash, nw
+         |  FROM read_parquet(${oraclePath("m09_phashes")})),
+         |pairs AS (
+         |  SELECT n.image_id, c.image_id AS old_id,
+         |    bit_count(xor(n.phash, c.phash)) AS ham
+         |  FROM p n JOIN p c ON n.nw AND NOT c.nw)
+         |SELECT image_id, count(*) AS n_matches, min(ham) AS min_ham,
+         |  min(old_id) AS first_dup_id
          |FROM pairs WHERE ham <= 2 GROUP BY image_id""".stripMargin,
     // clustering tail replicated as a recursive transitive closure over
     // the dumped edge set, then min-image_id relabel + component sizes
@@ -2555,6 +2625,42 @@ object Queries {
       }
       s.read.parquet(outDir)
         .select("doc_id", "n_grams", "n_hit", "overlap", "contaminated")
+    },
+    // streaming image near-dup ingest — m09's continuous-ingest twin on
+    // the IMAGE modality (the st05↔d12 relationship, third instance):
+    // newly ingested images ARRIVE as micro-batches and probe the
+    // PERSISTED corpus band index. Each image's verdict reads only the
+    // static index, so the union of per-batch outputs provably equals
+    // m09's one-shot answer — st07 shares m09's brute-force Hamming
+    // oracle, and the spec asserts the set equality. Exactly-once via
+    // batchId-keyed idempotent overwrite, same as st05/st06.
+    "st07_stream_image_neardup" -> { (s, d) =>
+      import java.nio.file.Files
+      val (ph, corpusBands) = m09Parts(s, d)
+      val schema = ph.select(col("image_id"), col("phash")).schema
+      val staged = stagedStreamBatches(s, d)
+      val inDir = Files.createTempDirectory("st07_in")
+      val outDir = Files.createTempDirectory("st07_out").toString
+      val ckpt = Files.createTempDirectory("st07_ckpt").toString
+      copyBatch(staged.resolve("st07_b1.parquet"), inDir, "b1.parquet", 0L)
+      copyBatch(staged.resolve("st07_b2.parquet"), inDir, "b2.parquet", 60000L)
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            probeImageBands(batch, corpusBands)
+              .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.read.parquet(outDir)
+        .select("image_id", "n_matches", "min_ham", "first_dup_id")
     })
 
   /** Session gap (micros): a quiet period longer than this closes the
@@ -2647,6 +2753,9 @@ object Queries {
     // streaming decontamination provably equals the one-shot d16 (per-doc
     // overlap is batching-independent) — same oracle
     "st06_stream_decontaminate" -> docDedupOracles("d16_decontaminate"),
+    // streaming image ingest probe equals m09's one-shot answer (each
+    // verdict reads only the persisted index) — same brute-force oracle
+    "st07_stream_image_neardup" -> multimodalOracles("m09_incremental_image_neardup"),
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,

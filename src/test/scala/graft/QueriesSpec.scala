@@ -444,6 +444,34 @@ class QueriesSpec extends AnyFunSuite {
     info(s"st06 == d16: ${stream.size} per-doc scores across 2 micro-batches")
   }
 
+  test("st07 streaming image ingest equals m09; m09 equals all-pairs Hamming recount") {
+    def verdicts(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getAs[Number](2).intValue,
+          r.getString(3))).toSet
+    val stream = verdicts("st07_stream_image_neardup")
+    val batch = verdicts("m09_incremental_image_neardup")
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+    // second-sf recall re-proof (the sf0.01 oracle brute-forces the same):
+    // banded probe == all new×corpus pairs within Hamming 2
+    val ph = spark.read.parquet(
+        s"/tmp/graft_derived/${new java.io.File(sf).getName}/m09_phashes.parquet")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val corpus = ph.filter(!_._3)
+    val truth = ph.filter(_._3).flatMap { case (nid, nph, _) =>
+      val hits = corpus.filter { case (_, cph, _) =>
+        java.lang.Long.bitCount(nph ^ cph) <= 2 }
+      if (hits.isEmpty) None
+      else Some((nid, hits.length.toLong,
+        hits.map(h => java.lang.Long.bitCount(nph ^ h._2)).min,
+        hits.map(_._1).min))
+    }.toSet
+    assert(batch == truth,
+      s"banded-only: ${(batch -- truth).take(3)}; truth-only: ${(truth -- batch).take(3)}")
+    info(s"st07 == m09 == brute force: ${batch.size} flagged of ${ph.count(_._3)} arriving images")
+  }
+
   test("e05 clusters every brute-force near-dup pair together; labels are min-ids") {
     val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
