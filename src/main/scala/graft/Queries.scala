@@ -633,15 +633,19 @@ object Queries {
       val base = t(s, d, "documents")
         .select(col("doc_id"), toks(col("text")).as("ws"))
         .withColumn("n_words", size(col("ws")))
+      // grams hash to longs IN the lambda (the d-family gram-kernel
+      // idiom): the quadratic membership counts below then compare
+      // primitives, not strings. 64-bit collisions are ignorable at
+      // ≤10² grams/doc (the d02 precedent, same exact-string oracle).
       val bigrams = when(col("n_words") >= 2,
         transform(sequence(lit(0), col("n_words") - 2),
-          i => concat_ws(" ", element_at(col("ws"), i + 1),
-            element_at(col("ws"), i + 2))))
-        .otherwise(array().cast("array<string>"))
+          i => xxhash64(concat_ws(" ", element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2)))))
+        .otherwise(array().cast("array<bigint>"))
       val grams3 = when(col("n_words") >= 3,
         transform(sequence(lit(0), col("n_words") - 3),
-          i => array_join(slice(col("ws"), i + 1, lit(3)), " ")))
-        .otherwise(array().cast("array<string>"))
+          i => xxhash64(array_join(slice(col("ws"), i + 1, lit(3)), " "))))
+        .otherwise(array().cast("array<bigint>"))
       base.withColumn("bg", bigrams).withColumn("g3", grams3)
         .withColumn("top_bigram_n",
           coalesce(array_max(transform(array_distinct(col("bg")),
