@@ -150,9 +150,10 @@ object Queries {
       stage(train.where(col("doc_id") % 2 === 0), "st06_b1.parquet")
       stage(train.where(col("doc_id") % 2 =!= 0), "st06_b2.parquet")
       // st07 arriving-image micro-batches (the streaming image near-dup
-      // probe): m09's delta slice, split in two by a second hash
-      val newImgs = graft.sources.SyntheticCorpus.corpus(s, corpusRows(d)).toDF()
-        .where(pmod(xxhash64(col("image_id")), lit(7)) === 0)
+      // probe): m09's OWN dumped delta slice (`nw`), split in two by a
+      // second hash — reading the dump makes stream-input == m09-input
+      // hold by construction instead of by a duplicated predicate
+      val newImgs = m09Parts(s, d)._1.where(col("nw"))
         .select(col("image_id"), col("phash"))
       stage(newImgs.where(pmod(xxhash64(concat(col("image_id"), lit("|s"))),
         lit(2)) === 0), "st07_b1.parquet")
