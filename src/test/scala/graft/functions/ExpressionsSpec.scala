@@ -139,6 +139,40 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(nulls.getSeq[Long](0).isEmpty)
   }
 
+  test("radius-2 Manku keys: every Hamming<=2 pair shares a key (randomized pigeonhole proof)") {
+    import spark.implicits._
+    // the m08/m09/flagship candidacy guarantee, checked on the REAL
+    // column expression (not a local re-derivation): corrupt <= 2
+    // random bit positions of random fingerprints and assert the
+    // 4-of-6-block joint key arrays always intersect; plus a
+    // same-key-means-close-ish sanity (keys are 44+ exact bits, so a
+    // random unrelated pair sharing one is ~2^-44 per table)
+    val r = new Random(42)
+    val cases = (0 until 500).map { _ =>
+      val fp = r.nextLong()
+      val flips = r.nextInt(3) // 0, 1, or 2 corrupted bits
+      val positions = Seq.fill(flips)(r.nextInt(64))
+      val mask = positions.foldLeft(0L)((m, p) => m | (1L << p))
+      (fp, fp ^ mask)
+    }
+    val out = cases.toDF("a", "b").select(
+      arrays_overlap(fingerprintBandsHamming2($"a"),
+        fingerprintBandsHamming2($"b")).as("hit"),
+      $"a", $"b").collect()
+    out.foreach { row =>
+      assert(row.getBoolean(0),
+        f"ham<=2 pair lost: ${row.getLong(1)}%016x vs ${row.getLong(2)}%016x")
+    }
+    // distinct random pairs share a key only by block-level coincidence:
+    // measure that it stays rare (not a guarantee — a calibration check)
+    val far = (0 until 500).map(_ => (r.nextLong(), r.nextLong()))
+    val farHits = far.toDF("a", "b").select(
+      arrays_overlap(fingerprintBandsHamming2($"a"),
+        fingerprintBandsHamming2($"b")).as("hit")).collect()
+      .count(_.getBoolean(0))
+    assert(farHits <= 5, s"random 64-bit pairs sharing a joint key: $farHits/500")
+  }
+
   test("expressions stay inside whole-stage codegen (no eval fallback)") {
     import spark.implicits._
     // materialize to parquet first: a purely-local relation would be
