@@ -32,7 +32,8 @@ object PlanAudit {
       "d13_repeated_ngram_spans", "d14_containment_dedup",
       "d15_sketch_error_audit", "t06_unigram_logprob",
       "t09_stratified_sample", "e06_ann_recall",
-      "m07_clip_neardup_pairs", "d16_decontaminate",
+      "m07_clip_neardup_pairs", "m10_audio_neardup_pairs",
+      "d16_decontaminate",
       "d17_decontaminate_bloom", "e07_semantic_dedup",
       "t12_doc_repetition").foreach(dump)
     spark.stop()

@@ -1905,7 +1905,7 @@ object Queries {
   // ================================================================ m: multimodal corpus
 
   import graft.operators.DedupPipeline
-  import graft.sources.{ImageCodec, SyntheticCorpus, SyntheticMedia, VideoContainer, WavCodec}
+  import graft.sources.{AudioFingerprint, ImageCodec, SyntheticCorpus, SyntheticMedia, VideoContainer, WavCodec}
 
   /** Row count for the video/audio corpora — 5× smaller than the image
     * corpus (rows are ~20-30 KB vs ~3 KB). */
@@ -2151,6 +2151,43 @@ object Queries {
       val (ph, corpusBands) = m09Parts(s, d)
       probeImageBands(ph.where(col("nw"))
         .select(col("image_id"), col("phash")), corpusBands)
+    },
+    // AUDIO near-dup pairs — the last modality of the dedup matrix
+    // (text d03-d05, image m01, video m07, audio here). Per row: the
+    // RIFF/WAVE decode feeds the Haitsma-Kalker-style energy-delta
+    // fingerprint at 2 window offsets (slot 2 pairs with the corpus's
+    // 2-block `atrim` head cut EXACTLY, the m07 k-frame idiom for
+    // alignment) → d05's pigeonhole banding over ONE bucket shuffle with
+    // the shared Lsh hot-bucket cap → slot×slot min-Hamming confirm ≤ 7
+    // (= the 8-band pigeonhole bound). Measured separation on ground
+    // truth (AudioFingerprintSpec): dups ≤ 5 (atrim/regain exactly 0 —
+    // the fingerprint is gain-invariant by construction), random floor
+    // min 17 / median 28. Scale shape identical to m07: never all-pairs,
+    // candidates bucket-local, confirm joins a 2-row-per-audio
+    // fingerprint table, never audio payloads. The fp dump makes
+    // banding + confirm SQL-replicable by the oracle.
+    "m10_audio_neardup_pairs" -> { (s, d) =>
+      val hop = SyntheticMedia.ENV_HOP
+      val fps = udf((bytes: Array[Byte]) =>
+        WavCodec.decode(bytes) match {
+          case Some(w) => Seq(0, 2).map(o =>
+            (o, AudioFingerprint.energyDelta64(w.samples, hop, o)))
+          case None => Seq.empty[(Int, Long)] // undecodable input
+        })
+      val fp = dumpDerived(s, d, "m10_audio_fp")(
+        SyntheticMedia.audiosDedup(s, mediaRows(d)).toDF()
+          .select(col("audio_id"), explode(fps(col("bytes"))).as("f"))
+          .select(col("audio_id"), col("f._1").as("slot"), col("f._2").as("fp")))
+      val banded = Lsh.explodeBands(
+        fp.select(col("audio_id").as("id"),
+          GraftFunctions.fingerprintBands(col("fp"), 8).as("bk")),
+        "id", "bk", sourceTag = 14)
+      Lsh.candidatePairs(banded, maxBucket = 64)
+        .join(fp.select(col("audio_id").as("a"), col("fp").as("fa")), "a")
+        .join(fp.select(col("audio_id").as("b"), col("fp").as("fb")), "b")
+        .groupBy(col("a"), col("b"))
+        .agg(min(GraftFunctions.hamming64(col("fa"), col("fb"))).as("min_hamming"))
+        .where(col("min_hamming") <= 7)
     })
 
   /** m09/st07 shared sides, each dumped once per (sfDir, JVM): the tagged
@@ -2305,6 +2342,30 @@ object Queries {
          |SELECT image_id, count(*) AS n_matches, min(ham) AS min_ham,
          |  min(old_id) AS first_dup_id
          |FROM pairs WHERE ham <= 2 GROUP BY image_id""".stripMargin,
+    // banding + min-Hamming confirm replicated in SQL over the dumped
+    // per-(audio, slot) energy-delta fingerprints — the m07 oracle shape
+    // (heat cap counts slot multiplicity, pair generation over DISTINCT
+    // (audio, block) rows, slot×slot min over the confirm)
+    "m10_audio_neardup_pairs" ->
+      s"""WITH fp AS (SELECT audio_id, fp,
+         |    CASE WHEN fp < 0 THEN fp::HUGEINT + 18446744073709551616
+         |         ELSE fp::HUGEINT END AS u
+         |  FROM read_parquet(${oraclePath("m10_audio_fp")})),
+         |pw(i, p) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT), (2, 65536::HUGEINT),
+         |  (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT), (5, 1099511627776::HUGEINT),
+         |  (6, 281474976710656::HUGEINT), (7, 72057594037927936::HUGEINT)),
+         |blocks AS (SELECT fp.audio_id, pw.i, (fp.u // pw.p) % 256 AS blk FROM fp, pw),
+         |keep AS (SELECT i, blk FROM blocks GROUP BY i, blk HAVING count(*) BETWEEN 2 AND 64),
+         |dv AS (SELECT DISTINCT audio_id, i, blk FROM blocks),
+         |cand AS (
+         |  SELECT DISTINCT x.audio_id AS a, y.audio_id AS b
+         |  FROM dv x JOIN keep USING (i, blk) JOIN dv y USING (i, blk)
+         |  WHERE x.audio_id < y.audio_id),
+         |ham AS (
+         |  SELECT c.a, c.b, min(bit_count(xor(fa.fp, fb.fp))) AS min_hamming
+         |  FROM cand c JOIN fp fa ON fa.audio_id = c.a JOIN fp fb ON fb.audio_id = c.b
+         |  GROUP BY c.a, c.b)
+         |SELECT a, b, min_hamming FROM ham WHERE min_hamming <= 7""".stripMargin,
     // clustering tail replicated as a recursive transitive closure over
     // the dumped edge set, then min-image_id relabel + component sizes
     "m01_corpus_dedup_clusters" ->

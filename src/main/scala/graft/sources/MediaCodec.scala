@@ -147,3 +147,55 @@ object WavCodec {
     else Some(Wav(rate, channels, data))
   }
 }
+
+/**
+ * Windowed-energy-delta audio fingerprint — the Haitsma-Kalker family
+ * (ISMIR 2002): bit i encodes the SIGN of the energy difference between
+ * adjacent fixed-hop windows. Sign-of-delta is invariant to any uniform
+ * gain change (energies scale together) and robust to low-level additive
+ * noise whenever the signal's loudness envelope dominates the deltas
+ * (the m10 corpus guarantees this by construction; a stationary signal
+ * would make the bits noise-driven — see [[SyntheticMedia]]).
+ *
+ * Head trims are handled the way [[VideoContainer]] frame sampling
+ * handles them for video in m07: each row emits fingerprints at several
+ * WINDOW OFFSETS (slots), and a trim of k·hop samples makes
+ * `fingerprint(trimmed, 0) == fingerprint(source, k)` exactly, because
+ * the surviving samples and their window grid are byte-identical.
+ */
+object AudioFingerprint {
+
+  /** 64-bit fingerprint of `samples` at window offset `offsetWindows`:
+    * window w = samples [w·hop, (w+1)·hop); bit i set iff
+    * E(off + (i+1) mod m) > E(off + i mod m), m = usable window count.
+    * Wraparound keeps every bit data-driven for short signals (a short
+    * row repeats its pattern rather than padding constant bits, so two
+    * unrelated short rows don't collide on padding). Returns 0 for
+    * signals with fewer than 2 usable windows. */
+  def energyDelta64(samples: Array[Short], hop: Int, offsetWindows: Int): Long = {
+    val nwin = samples.length / hop
+    val m = nwin - offsetWindows
+    if (m < 2) return 0L
+    val e = new Array[Long](m)
+    var w = 0
+    while (w < m) {
+      val base = (offsetWindows + w) * hop
+      var s = 0L
+      var j = 0
+      while (j < hop) {
+        val v = samples(base + j).toLong
+        s += v * v
+        j += 1
+      }
+      e(w) = s
+      w += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (e((i + 1) % m) > e(i % m)) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+}

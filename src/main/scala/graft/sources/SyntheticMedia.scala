@@ -191,4 +191,115 @@ object SyntheticMedia {
     import spark.implicits._
     spark.range(nTotal).map(r => genAudio(r))
   }
+
+  // ------------------------------------------------------------ audio dedup corpus
+  //
+  // The m06 corpus above is STATIONARY (two steady sines): any
+  // windowed-energy fingerprint over it is noise-driven, so it cannot
+  // carry a near-dup tier. The dedup corpus below adds the one thing real
+  // audio has that the decode-stats corpus doesn't need: a per-block
+  // loudness envelope (a "melody" of 1..8 gain steps every ENV_HOP
+  // samples), which makes adjacent-window energy DELTAS signal-dominated
+  // — exactly the property the Haitsma-Kalker fingerprint family
+  // (ISMIR 2002) relies on. `audios`/`genAudio` stay byte-identical so
+  // m06's regression-frozen oracle constants stand.
+
+  /** Envelope block = fingerprint window hop (samples). */
+  val ENV_HOP = 128
+
+  /** Audio dup kinds, each a realistic re-publication:
+    *  - `regain`  — volume re-master: every sample scaled by one factor
+    *                (energy RATIOS preserved, so sign-of-delta bits hold)
+    *  - `atrim`   — head cut of exactly 2 envelope blocks (a re-edit at a
+    *                beat boundary: remaining bytes identical, window grid
+    *                shifted by 2 — matched by the offset-slot fingerprint)
+    *  - `renoise` — same melody + sines, fresh low-level noise (a
+    *                re-encode: every sample differs) */
+  private val audioDupKinds = Array("regain", "atrim", "renoise")
+
+  /** Audio dup plan for a dup row id (id >= nBase): (srcId, kind). */
+  def audioDupPlan(id: Long, nBaseRows: Long): (Long, String) = {
+    val r = new Prg(id, "adup")
+    val src = java.lang.Long.remainderUnsigned(r.nextLong(), nBaseRows)
+    (src, audioDupKinds(r.nextInt(audioDupKinds.length)))
+  }
+
+  /** Per-row melodic spec, a pure function of the BASE id: rate, sample
+    * count, two sine (freq, amp) pairs, and the per-block gain melody. */
+  private def melodicSpec(id: Long): (Int, Int, Int, Int, Int, Int, Array[Int]) = {
+    val r = new Prg(id, "maud")
+    val rate = RATES(r.nextInt(RATES.length))
+    val n = 2048 + r.nextInt(6144)
+    val f1 = 100 + r.nextInt(900)
+    val f2 = 1000 + r.nextInt(3000)
+    val a1 = 800 + r.nextInt(800)
+    val a2 = 300 + r.nextInt(500)
+    val gains = Array.fill((n + ENV_HOP - 1) / ENV_HOP)(1 + r.nextInt(8))
+    (rate, n, f1, f2, a1, a2, gains)
+  }
+
+  /** Synthesize the melodic signal of base id `specId` with noise drawn
+    * from `noiseId`'s stream (noiseId == specId reproduces the original
+    * byte-exactly; a different noiseId is the `renoise` republication).
+    * Peak amplitude ≤ 8·(1600+800) + 64 < Short.MaxValue — no clipping,
+    * so `regain` scaling below stays linear. */
+  private def synthMelodic(specId: Long, noiseId: Long): (Int, Array[Short]) = {
+    val (rate, n, f1, f2, a1, a2, gains) = melodicSpec(specId)
+    val nr = new Prg(noiseId, "mnoise")
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val t = i.toDouble / rate
+      val g = gains(i / ENV_HOP)
+      val v = g * (a1 * StrictMath.sin(2 * math.Pi * f1 * t) +
+        a2 * StrictMath.sin(2 * math.Pi * f2 * t)) + (nr.nextInt(129) - 64)
+      samples(i) = math.max(Short.MinValue, math.min(Short.MaxValue, v.toInt)).toShort
+      i += 1
+    }
+    (rate, samples)
+  }
+
+  /** Build one row of the audio DEDUP corpus (pure function of id +
+    * nTotal): base rows are original melodic signals; the ~10% tail rows
+    * are regain/atrim/renoise republications (ground truth via
+    * [[audioDupPlan]]). */
+  def genAudioDedup(id: Long, nTotal: Long): AudioRow = {
+    val nb = nBase(nTotal)
+    if (id < nb) {
+      val (rate, samples) = synthMelodic(id, id)
+      AudioRow(s"aud_$id", WavCodec.encodePcm16(samples, rate), rate, samples.length)
+    } else {
+      val (src, kind) = audioDupPlan(id, nb)
+      kind match {
+        case "regain" =>
+          val (rate, samples) = synthMelodic(src, src)
+          val r = new Prg(id, "regain")
+          val g = 0.5 + 0.05 * r.nextInt(9) // 0.50 .. 0.90
+          val out = samples.map(sv => math.round(sv * g).toShort)
+          AudioRow(s"aud_$id", WavCodec.encodePcm16(out, rate), rate, out.length)
+        case "atrim" =>
+          val (rate, samples) = synthMelodic(src, src)
+          val out = samples.drop(2 * ENV_HOP) // n >= 2048, so >= 1792 remain
+          AudioRow(s"aud_$id", WavCodec.encodePcm16(out, rate), rate, out.length)
+        case _ => // renoise: same spec, fresh noise stream
+          val (rate, samples) = synthMelodic(src, id)
+          AudioRow(s"aud_$id", WavCodec.encodePcm16(samples, rate), rate, samples.length)
+      }
+    }
+  }
+
+  def audiosDedup(spark: SparkSession, nTotal: Long): Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.range(nTotal).map(r => genAudioDedup(r, nTotal))
+  }
+
+  /** Ground-truth near-dup labels for the audio dedup corpus. */
+  def audioDupLabels(spark: SparkSession, nTotal: Long): Dataset[DupLabel] = {
+    import spark.implicits._
+    val nb = nBase(nTotal)
+    spark.range(nb, nTotal).map { id =>
+      val (src, kind) = audioDupPlan(id, nb)
+      DupLabel(s"aud_$id", s"aud_$src", kind)
+    }
+  }
 }

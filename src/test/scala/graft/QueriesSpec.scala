@@ -755,6 +755,22 @@ class QueriesSpec extends AnyFunSuite {
       .foreach(r => assert(r.getInt(2) <= 7))
   }
 
+  test("m10 audio near-dup: recall 1.0 over injected regain/atrim/renoise dups") {
+    val found = SparkEntry.queries("m10_audio_neardup_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val labels = graft.sources.SyntheticMedia
+      .audioDupLabels(spark, Queries.mediaRows(sf)).collect()
+    assert(labels.nonEmpty)
+    labels.foreach { l =>
+      val p = if (l.dup_id < l.src_id) (l.dup_id, l.src_id) else (l.src_id, l.dup_id)
+      assert(found.contains(p), s"missed ${l.kind} dup pair $p")
+    }
+    // the confirm threshold (7 = the 8-band pigeonhole bound) sits below
+    // the measured random floor (17, AudioFingerprintSpec)
+    SparkEntry.queries("m10_audio_neardup_pairs")(spark, sf).collect()
+      .foreach(r => assert(r.getInt(2) <= 7))
+  }
+
   test("d06 clusters: every confirmed d04 pair lands in one cluster") {
     val assign = SparkEntry.queries("d06_doc_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

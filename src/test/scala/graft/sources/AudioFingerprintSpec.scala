@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The energy-delta audio fingerprint (Haitsma-Kalker family) behind the
+  * m10 audio near-dup query, measured against the melodic dedup corpus's
+  * ground truth — kernel-level separation evidence for the thresholds the
+  * query pins (the m07 pattern: dup Hamming vs the random floor). */
+class AudioFingerprintSpec extends AnyFunSuite {
+
+  private val n = 1000L
+  private val nb = SyntheticMedia.nBase(n)
+  private val hop = SyntheticMedia.ENV_HOP
+  private val slots = Seq(0, 2) // offset 2 pairs with the 2-block `atrim` cut
+
+  private lazy val fps: Map[String, Seq[Long]] =
+    (0L until n).map { id =>
+      val row = SyntheticMedia.genAudioDedup(id, n)
+      val w = WavCodec.decode(row.bytes).get
+      row.audio_id -> slots.map(AudioFingerprint.energyDelta64(w.samples, hop, _))
+    }.toMap
+
+  private def minHam(a: String, b: String): Int =
+    (for (x <- fps(a); y <- fps(b)) yield java.lang.Long.bitCount(x ^ y)).min
+
+  private lazy val labels: Seq[(String, String, String)] =
+    (nb until n).map { id =>
+      val (s, k) = SyntheticMedia.audioDupPlan(id, nb)
+      (s"aud_$id", s"aud_$s", k)
+    }
+
+  test("gain invariance: regain dup fingerprints are near-identical; atrim matches exactly at the offset slot") {
+    labels.foreach { case (d, s, k) =>
+      val h = minHam(d, s)
+      k match {
+        case "atrim" =>
+          // trimmed@slot0 vs source@slot2 cover byte-identical samples
+          assert(java.lang.Long.bitCount(fps(d).head ^ fps(s)(1)) === 0, s"$d vs $s")
+        case "regain" => assert(h <= 2, s"$d vs $s: ham $h")
+        case _ => () // renoise measured below
+      }
+    }
+  }
+
+  test("dup pairs separate from the random floor (thresholds the m10 query pins)") {
+    val byKind = labels.map { case (d, s, k) => (k, minHam(d, s)) }
+    val dupMax = byKind.map(_._2).max
+    info(s"dup min-Hamming max by kind: " +
+      byKind.groupBy(_._1).map { case (k, v) => s"$k=${v.map(_._2).max}" }.mkString(", "))
+    // the m10 confirm threshold (7) must cover every injected dup kind
+    assert(dupMax <= 7, s"a dup pair exceeds the banding pigeonhole bound: $dupMax")
+
+    val rng = new scala.util.Random(7)
+    val ids = fps.keys.toArray.sorted
+    val dupSet = labels.map { case (d, s, _) => Set(d, s) }.toSet
+    val rand = Iterator.continually {
+      (ids(rng.nextInt(ids.length)), ids(rng.nextInt(ids.length)))
+    }.filter { case (a, b) => a != b && !dupSet.contains(Set(a, b)) }
+      .take(2000).toSeq
+    val rh = rand.map { case (a, b) => minHam(a, b) }.sorted
+    info(s"random floor: min=${rh.head} p1=${rh(rh.size / 100)} median=${rh(rh.size / 2)}")
+    // random pairs sit far above the confirm threshold: the envelope bits
+    // are iid-ish across rows, so the floor is near 64/2
+    assert(rh.head > 7, s"random pair inside the confirm threshold: ${rh.head}")
+  }
+}
