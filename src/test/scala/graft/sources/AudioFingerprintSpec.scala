@@ -63,4 +63,52 @@ class AudioFingerprintSpec extends AnyFunSuite {
     // are iid-ish across rows, so the floor is near 64/2
     assert(rh.head > 7, s"random pair inside the confirm threshold: ${rh.head}")
   }
+
+  // ---------------- exact kernel properties (scalacheck)
+
+  import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(200)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  // arbitrary signals, 2..24 windows of a small hop, half-range samples
+  // so a 2x gain cannot clip
+  private val hopGen = Gen.choose(4, 32)
+  private def samplesGen(hopV: Int): Gen[Array[Short]] =
+    Gen.choose(2 * hopV, 24 * hopV).flatMap(n =>
+      Gen.containerOfN[Array, Short](n,
+        Gen.choose((Short.MinValue / 2).toShort, (Short.MaxValue / 2).toShort)))
+
+  test("property: exact power-of-two gain never changes the fingerprint") {
+    // energies scale by exactly 4, so every unsigned comparison is
+    // preserved bit-for-bit — the discrete core of gain invariance
+    // (arbitrary-factor invariance is approximate via PCM rounding and
+    // is measured on ground truth above)
+    check("gain", Prop.forAll(hopGen.flatMap(h => samplesGen(h).map((h, _)))) {
+      case (h, s) =>
+        val doubled = s.map(v => (v * 2).toShort)
+        AudioFingerprint.energyDelta64(s, h, 0) ==
+          AudioFingerprint.energyDelta64(doubled, h, 0)
+    })
+  }
+
+  test("property: a k-window head trim equals the offset-k fingerprint") {
+    // the slot-alignment identity the atrim dup kind relies on, for ANY
+    // signal and ANY window-aligned cut (not just the corpus's k=2)
+    val gen = for {
+      h <- hopGen
+      s <- samplesGen(h)
+      k <- Gen.choose(0, s.length / h - 2)
+    } yield (h, s, k)
+    check("trim", Prop.forAll(gen) { case (h, s, k) =>
+      AudioFingerprint.energyDelta64(s.drop(k * h), h, 0) ==
+        AudioFingerprint.energyDelta64(s, h, k)
+    })
+  }
 }
