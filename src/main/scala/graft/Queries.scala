@@ -2040,15 +2040,24 @@ object Queries {
     },
     // VIDEO near-dup pairs: the frame-sample primitive composed into a
     // dedup tier. Per clip: k=4 sampled-frame phashes (header arithmetic,
-    // O(k) per row — the ONLY per-row kernel work) → d05's pigeonhole
-    // banding (8×8-bit blocks: any frame pair within Hamming 7 shares a
-    // block) over ONE bucket shuffle with the Lsh hot-bucket cap → k×k
-    // min-Hamming confirm ≤ 7. Catches the injected trim/renoise/refps
-    // republications (measured: dup pairs sit at Hamming ≤ 1; the random
-    // background floor is 8 — QueriesSpec asserts recall 1.0 vs ground
-    // truth). Scale shape: never all-pairs; candidates are bucket-local;
-    // the confirm joins a k-row-per-clip table, not clip payloads. The
-    // phash dump makes banding + confirm SQL-replicable by the oracle.
+    // O(k) per row — the ONLY per-row kernel work) → the flagship's
+    // radius-2 Manku joint keys (C(6,4)=15 ~44-bit keys: any frame pair
+    // within Hamming 2 shares ≥ 1 key by pigeonhole — GUARANTEED
+    // candidacy) over ONE bucket shuffle with the Lsh hot-bucket cap →
+    // k×k min-Hamming confirm ≤ 2. Catches the injected trim/renoise/
+    // refps republications (measured: dup pairs sit at Hamming ≤ 1; the
+    // random background floor is 8 — QueriesSpec asserts recall 1.0 vs
+    // ground truth AT TWO SCALES). Why joint keys and not single 8-bit
+    // blocks: structured frame phashes cluster, so single-block buckets
+    // blow the heat cap as the corpus grows — measured at 4000 clips,
+    // 444 of 739 single-block buckets were hot and 197 of 400 true dup
+    // pairs lost ALL candidacy (recall 0.51); the 44-bit joints read 0
+    // hot buckets / max 12 / recall 1.0 at the same scale. Scale shape:
+    // never all-pairs; candidates are bucket-local; the confirm joins a
+    // k-row-per-clip table, not clip payloads. The oracle brute-forces
+    // ALL clip-pair min-Hammings from the phash dump — equality
+    // re-proves the banding recall guarantee on data (the m08/m09
+    // oracle discipline).
     "m07_clip_neardup_pairs" -> { (s, d) =>
       val k = 4
       val phashes = udf((bytes: Array[Byte]) =>
@@ -2073,23 +2082,8 @@ object Queries {
         graft.sources.SyntheticMedia.videos(s, mediaRows(d)).toDF()
           .select(col("video_id"), explode(phashes(col("bytes"))).as("fp"))
           .select(col("video_id"), col("fp._1").as("slot"), col("fp._2").as("phash")))
-      // NO pre-distinct: the bucket window + candidatePairs'
-      // array_distinct subsume it in ONE shuffle of the band table (a
-      // pre-distinct exchange would shuffle the same rows twice). The
-      // cap therefore counts frame multiplicity — harsher on hot scene
-      // buckets, which is the protective direction, and a dup pair has
-      // up to k×8 shared buckets so recall survives dropped hot buckets
-      // (asserted against ground truth in QueriesSpec).
-      val banded = Lsh.explodeBands(
-        ph.select(col("video_id").as("id"),
-          GraftFunctions.fingerprintBands(col("phash"), 8).as("bk")),
-        "id", "bk", sourceTag = 13)
-      Lsh.candidatePairs(banded, maxBucket = 64)
-        .join(ph.select(col("video_id").as("a"), col("phash").as("pa")), "a")
-        .join(ph.select(col("video_id").as("b"), col("phash").as("pb")), "b")
-        .groupBy(col("a"), col("b"))
-        .agg(min(GraftFunctions.hamming64(col("pa"), col("pb"))).as("min_hamming"))
-        .where(col("min_hamming") <= 7)
+      bandMinHamPairs(ph, "video_id", "phash",
+        GraftFunctions.fingerprintBandsHamming2, sourceTag = 13, maxHam = 2)
     },
     // resumable pipeline: checkpoint/lineage table (north_rule); returns
     // the per-stage lineage metrics of a checkpointed flagship run
@@ -2157,15 +2151,20 @@ object Queries {
     // RIFF/WAVE decode feeds the Haitsma-Kalker-style energy-delta
     // fingerprint at 2 window offsets (slot 2 pairs with the corpus's
     // 2-block `atrim` head cut EXACTLY, the m07 k-frame idiom for
-    // alignment) → d05's pigeonhole banding over ONE bucket shuffle with
-    // the shared Lsh hot-bucket cap → slot×slot min-Hamming confirm ≤ 7
-    // (= the 8-band pigeonhole bound). Measured separation on ground
-    // truth (AudioFingerprintSpec): dups ≤ 5 (atrim/regain exactly 0 —
-    // the fingerprint is gain-invariant by construction), random floor
-    // min 17 / median 28. Scale shape identical to m07: never all-pairs,
-    // candidates bucket-local, confirm joins a 2-row-per-audio
-    // fingerprint table, never audio payloads. The fp dump makes
-    // banding + confirm SQL-replicable by the oracle.
+    // alignment) → joint 3-of-8 band keys (C(8,3)=56 24-bit keys: any
+    // pair within Hamming 5 shares ≥ 1 key by pigeonhole — GUARANTEED
+    // candidacy) over ONE bucket shuffle with the shared Lsh hot-bucket
+    // cap → slot×slot min-Hamming confirm ≤ 5. Measured separation on
+    // ground truth (AudioFingerprintSpec): dups ≤ 2 (atrim/regain
+    // exactly 0 — the fingerprint is gain-invariant by construction),
+    // random floor min 17 / median 28; at 4000 rows the joints read 0
+    // hot buckets (max 4) and 570 coincidence candidates — single 8-bit
+    // blocks at the same scale had 294 hot buckets losing 6 of 400 true
+    // pairs. Scale shape identical to m07: never all-pairs, candidates
+    // bucket-local, confirm joins a 2-row-per-audio fingerprint table,
+    // never audio payloads. The oracle brute-forces ALL audio-pair
+    // min-Hammings from the fp dump — equality re-proves the banding
+    // recall guarantee on data (the m08/m09 oracle discipline).
     "m10_audio_neardup_pairs" -> { (s, d) =>
       val hop = SyntheticMedia.ENV_HOP
       val fps = udf((bytes: Array[Byte]) =>
@@ -2178,17 +2177,30 @@ object Queries {
         SyntheticMedia.audiosDedup(s, mediaRows(d)).toDF()
           .select(col("audio_id"), explode(fps(col("bytes"))).as("f"))
           .select(col("audio_id"), col("f._1").as("slot"), col("f._2").as("fp")))
-      val banded = Lsh.explodeBands(
-        fp.select(col("audio_id").as("id"),
-          GraftFunctions.fingerprintBands(col("fp"), 8).as("bk")),
-        "id", "bk", sourceTag = 14)
-      Lsh.candidatePairs(banded, maxBucket = 64)
-        .join(fp.select(col("audio_id").as("a"), col("fp").as("fa")), "a")
-        .join(fp.select(col("audio_id").as("b"), col("fp").as("fb")), "b")
-        .groupBy(col("a"), col("b"))
-        .agg(min(GraftFunctions.hamming64(col("fa"), col("fb"))).as("min_hamming"))
-        .where(col("min_hamming") <= 7)
+      bandMinHamPairs(fp, "audio_id", "fp",
+        GraftFunctions.fingerprintJointBands(_, 3), sourceTag = 14, maxHam = 5)
     })
+
+  /** Shared m07/m10 confirm tail: a per-row fingerprint table (several
+    * rows per id — frame or offset slots) → guaranteed-radius banding →
+    * the shared Lsh heat cap (NO pre-distinct: the bucket window +
+    * candidatePairs' array_distinct subsume it in ONE shuffle of the
+    * band table; the cap therefore counts slot multiplicity — harsher
+    * on hot buckets, the protective direction) → slot×slot min-Hamming
+    * confirm ≤ maxHam. `bands` must guarantee candidacy at radius ≥
+    * maxHam (pigeonhole), so recall is structural, not probabilistic. */
+  private def bandMinHamPairs(fp: DataFrame, idCol: String, fpCol: String,
+      bands: Column => Column, sourceTag: Int, maxHam: Int): DataFrame = {
+    val banded = Lsh.explodeBands(
+      fp.select(col(idCol).as("id"), bands(col(fpCol)).as("bk")),
+      "id", "bk", sourceTag = sourceTag)
+    Lsh.candidatePairs(banded, maxBucket = 64)
+      .join(fp.select(col(idCol).as("a"), col(fpCol).as("fa")), "a")
+      .join(fp.select(col(idCol).as("b"), col(fpCol).as("fb")), "b")
+      .groupBy(col("a"), col("b"))
+      .agg(min(GraftFunctions.hamming64(col("fa"), col("fb"))).as("min_hamming"))
+      .where(col("min_hamming") <= maxHam)
+  }
 
   /** m09/st07 shared sides, each dumped once per (sfDir, JVM): the tagged
     * phash table (nw = the arriving delta slice) and the PERSISTED corpus
@@ -2293,29 +2305,19 @@ object Queries {
         m06Expected.map { case (r, n, mn, mx, pk, zc) =>
           s"  ($r, $n, $mn, $mx, $pk, $zc)" }.mkString(",\n") +
         "\n) AS t(sample_rate, n, min_rms, max_rms, max_peak, sum_zero_cross)"),
-    // banding + min-Hamming confirm replicated in SQL over the dumped
-    // per-(clip, slot) frame phashes — the d05 oracle pattern with
-    // DISTINCT (clip, block) rows and a k×k frame-pair min
+    // brute-force ALL clip-pair min-Hammings from the dumped per-(clip,
+    // slot) frame phashes — equality with the banded path re-proves the
+    // radius-2 Manku key recall guarantee on data (a banded miss OR a
+    // heat-cap loss on a true pair would show up as a missing row here)
     "m07_clip_neardup_pairs" ->
-      s"""WITH ph AS (SELECT video_id, phash,
-         |    CASE WHEN phash < 0 THEN phash::HUGEINT + 18446744073709551616
-         |         ELSE phash::HUGEINT END AS u
+      s"""WITH ph AS (SELECT video_id, phash
          |  FROM read_parquet(${oraclePath("m07_frame_phash")})),
-         |pw(i, p) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT), (2, 65536::HUGEINT),
-         |  (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT), (5, 1099511627776::HUGEINT),
-         |  (6, 281474976710656::HUGEINT), (7, 72057594037927936::HUGEINT)),
-         |blocks AS (SELECT ph.video_id, pw.i, (ph.u // pw.p) % 256 AS blk FROM ph, pw),
-         |keep AS (SELECT i, blk FROM blocks GROUP BY i, blk HAVING count(*) BETWEEN 2 AND 64),
-         |dv AS (SELECT DISTINCT video_id, i, blk FROM blocks),
-         |cand AS (
-         |  SELECT DISTINCT x.video_id AS a, y.video_id AS b
-         |  FROM dv x JOIN keep USING (i, blk) JOIN dv y USING (i, blk)
-         |  WHERE x.video_id < y.video_id),
          |ham AS (
-         |  SELECT c.a, c.b, min(bit_count(xor(pa.phash, pb.phash))) AS min_hamming
-         |  FROM cand c JOIN ph pa ON pa.video_id = c.a JOIN ph pb ON pb.video_id = c.b
-         |  GROUP BY c.a, c.b)
-         |SELECT a, b, min_hamming FROM ham WHERE min_hamming <= 7""".stripMargin,
+         |  SELECT pa.video_id AS a, pb.video_id AS b,
+         |    min(bit_count(xor(pa.phash, pb.phash))) AS min_hamming
+         |  FROM ph pa JOIN ph pb ON pa.video_id < pb.video_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, min_hamming FROM ham WHERE min_hamming <= 2""".stripMargin,
     // image decontamination brute-forced: EVERY eval×train phash pair's
     // Hamming distance from the dump — independently re-proving the
     // radius-2 Manku keys' pigeonhole recall guarantee (a banded miss
@@ -2342,30 +2344,18 @@ object Queries {
          |SELECT image_id, count(*) AS n_matches, min(ham) AS min_ham,
          |  min(old_id) AS first_dup_id
          |FROM pairs WHERE ham <= 2 GROUP BY image_id""".stripMargin,
-    // banding + min-Hamming confirm replicated in SQL over the dumped
-    // per-(audio, slot) energy-delta fingerprints — the m07 oracle shape
-    // (heat cap counts slot multiplicity, pair generation over DISTINCT
-    // (audio, block) rows, slot×slot min over the confirm)
+    // brute-force ALL audio-pair min-Hammings from the dumped per-
+    // (audio, slot) energy-delta fingerprints — equality with the banded
+    // path re-proves the 3-of-8 joint-key recall guarantee on data
     "m10_audio_neardup_pairs" ->
-      s"""WITH fp AS (SELECT audio_id, fp,
-         |    CASE WHEN fp < 0 THEN fp::HUGEINT + 18446744073709551616
-         |         ELSE fp::HUGEINT END AS u
+      s"""WITH fp AS (SELECT audio_id, fp
          |  FROM read_parquet(${oraclePath("m10_audio_fp")})),
-         |pw(i, p) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT), (2, 65536::HUGEINT),
-         |  (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT), (5, 1099511627776::HUGEINT),
-         |  (6, 281474976710656::HUGEINT), (7, 72057594037927936::HUGEINT)),
-         |blocks AS (SELECT fp.audio_id, pw.i, (fp.u // pw.p) % 256 AS blk FROM fp, pw),
-         |keep AS (SELECT i, blk FROM blocks GROUP BY i, blk HAVING count(*) BETWEEN 2 AND 64),
-         |dv AS (SELECT DISTINCT audio_id, i, blk FROM blocks),
-         |cand AS (
-         |  SELECT DISTINCT x.audio_id AS a, y.audio_id AS b
-         |  FROM dv x JOIN keep USING (i, blk) JOIN dv y USING (i, blk)
-         |  WHERE x.audio_id < y.audio_id),
          |ham AS (
-         |  SELECT c.a, c.b, min(bit_count(xor(fa.fp, fb.fp))) AS min_hamming
-         |  FROM cand c JOIN fp fa ON fa.audio_id = c.a JOIN fp fb ON fb.audio_id = c.b
-         |  GROUP BY c.a, c.b)
-         |SELECT a, b, min_hamming FROM ham WHERE min_hamming <= 7""".stripMargin,
+         |  SELECT fa.audio_id AS a, fb.audio_id AS b,
+         |    min(bit_count(xor(fa.fp, fb.fp))) AS min_hamming
+         |  FROM fp fa JOIN fp fb ON fa.audio_id < fb.audio_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, min_hamming FROM ham WHERE min_hamming <= 5""".stripMargin,
     // clustering tail replicated as a recursive transitive closure over
     // the dumped edge set, then min-image_id relabel + component sizes
     "m01_corpus_dedup_clusters" ->

@@ -281,6 +281,33 @@ object GraftFunctions {
   }
 
   /**
+   * Joint `pick`-of-8 band keys for a 64-bit fingerprint: all C(8,pick)
+   * combinations of its eight 8-bit blocks. Pigeonhole: Hamming ≤
+   * (8 − pick) errors touch at most 8 − pick blocks, leaving ≥ pick
+   * untouched, so two fingerprints within Hamming (8 − pick) share at
+   * least one joint key — GUARANTEED radius 8 − pick. The point vs
+   * single blocks ([[fingerprintBands]]): key SELECTIVITY is the scale
+   * dial (same argument as [[fingerprintBandsHamming2]]). Single 8-bit
+   * blocks have 256 values, so bucket mass grows linearly with the
+   * corpus and saturates the heat cap — measured at 4000 media rows:
+   * 294 of 1,922 single-block buckets past the cap, costing 6 of 400
+   * true dup pairs their candidacy. pick=3 keys carry 24 value bits
+   * (16.7M values; 0 hot buckets, max 4, and 26× fewer coincidence
+   * candidates than pick=2 at the same scale). Tag (< 2⁶) + 8·pick
+   * value bits — exact in a long for pick ≤ 7; pure built-ins
+   * (codegen).
+   */
+  def fingerprintJointBands(fp: Column, pick: Int): Column = {
+    require(pick >= 1 && pick <= 7, "pick must be in [1, 7]")
+    def block(i: Int): Column =
+      shiftrightunsigned(fp, i * 8).bitwiseAND(lit(0xffL))
+    val combos = (0 until 8).combinations(pick).toSeq
+    array(combos.zipWithIndex.map { case (c, tag) =>
+      c.foldLeft(lit(tag.toLong): Column)((acc, i) => acc * lit(256L) + block(i))
+    }: _*)
+  }
+
+  /**
    * Band keys for a 64-bit fingerprint (phash / simhash): split into
    * `bands` bit-blocks. Pigeonhole guarantee: two fingerprints within
    * Hamming distance `bands - 1` share at least one exact block.

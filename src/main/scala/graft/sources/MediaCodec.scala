@@ -165,13 +165,38 @@ object WavCodec {
  */
 object AudioFingerprint {
 
+  /** Deterministic window-pairing table for a given usable-window count
+    * `m`: bit i compares windows `i mod m` and a murmur-selected partner
+    * (never itself). A CHAINED adjacent-delta scheme (bit i = E(i+1) >
+    * E(i)) is the textbook form but is structurally biased: for iid
+    * window energies, consecutive delta signs ALTERNATE with probability
+    * 2/3 (the classic runs statistic), so 8-bit key blocks land on
+    * 0x55/0xAA at ~5× the uniform rate and LSH buckets go hot as the
+    * corpus grows — measured at 4000 rows: 294 of 1,922 single-block
+    * buckets past the heat cap, costing 6 of 400 true dup pairs their
+    * candidacy. Murmur-paired windows make the bits iid-ish, so band-key
+    * mass stays uniform at any scale. The pairing depends only on
+    * (i, m), preserving the trim identity and gain invariance. */
+  private val partnerCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Int], Array[Int])]()
+  private def partners(m: Int): (Array[Int], Array[Int]) =
+    partnerCache.computeIfAbsent(m, _ => {
+      val a = Array.tabulate(64)(i => i % m)
+      val b = Array.tabulate(64) { i =>
+        val off = 1 + java.lang.Long.remainderUnsigned(
+          graft.core.Murmur3.hash64(s"fpp:$i", m.toLong), (m - 1).toLong).toInt
+        (i % m + off) % m
+      }
+      (a, b)
+    })
+
   /** 64-bit fingerprint of `samples` at window offset `offsetWindows`:
     * window w = samples [w·hop, (w+1)·hop); bit i set iff
-    * E(off + (i+1) mod m) > E(off + i mod m), m = usable window count.
-    * Wraparound keeps every bit data-driven for short signals (a short
-    * row repeats its pattern rather than padding constant bits, so two
-    * unrelated short rows don't collide on padding). Returns 0 for
-    * signals with fewer than 2 usable windows. */
+    * E(partnerB(i)) > E(partnerA(i)) over the m usable windows (pairing
+    * per [[partners]] — wraparound keeps every bit data-driven for short
+    * signals rather than padding constant bits, so two unrelated short
+    * rows don't collide on padding). Returns 0 for signals with fewer
+    * than 2 usable windows. */
   def energyDelta64(samples: Array[Short], hop: Int, offsetWindows: Int): Long = {
     val nwin = samples.length / hop
     val m = nwin - offsetWindows
@@ -190,10 +215,11 @@ object AudioFingerprint {
       e(w) = s
       w += 1
     }
+    val (pa, pb) = partners(m)
     var fp = 0L
     var i = 0
     while (i < 64) {
-      if (e((i + 1) % m) > e(i % m)) fp |= (1L << i)
+      if (e(pb(i)) > e(pa(i))) fp |= (1L << i)
       i += 1
     }
     fp

@@ -739,36 +739,81 @@ class QueriesSpec extends AnyFunSuite {
     per.foreach { case (k, g) => assert(g.length <= 3, k) }
   }
 
-  test("m07 clip near-dup: recall 1.0 over injected trim/renoise/refps dups") {
-    val found = SparkEntry.queries("m07_clip_neardup_pairs")(spark, sf)
+  /** The m08/m09 oracle discipline applied spec-side, at scales DuckDB
+    * never sees: (1) recall 1.0 — every labeled (dup, src) pair is
+    * reported; (2) the reported set EQUALS the brute-force all-pairs
+    * truth recomputed from the query's own fingerprint dump (min
+    * slot-pair Hamming ≤ maxHam over every id pair). Equality proves the
+    * banded path neither misses a pair (a banding gap or heat-cap loss)
+    * nor invents one — genuine coincidence pairs inside the radius are
+    * correct output, not false positives, so this is strictly stronger
+    * than precision-vs-labels (which a true coincidence would fail). The
+    * old second-collect `min_hamming <= T` assertion was tautological
+    * (the query's own final filter) and is dropped. */
+  private def assertMediaDedup(query: String, dump: String, maxHam: Int,
+      sfDir: String, labels: Array[graft.sources.DupLabel]): Unit = {
+    val found = SparkEntry.queries(query)(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    val labels = graft.sources.SyntheticMedia
-      .videoDupLabels(spark, Queries.mediaRows(sf)).collect()
     assert(labels.nonEmpty)
     labels.foreach { l =>
       val p = if (l.dup_id < l.src_id) (l.dup_id, l.src_id) else (l.src_id, l.dup_id)
       assert(found.contains(p), s"missed ${l.kind} dup pair $p")
     }
-    // the confirm threshold sits below the measured random floor (8), so
-    // every reported pair is tight
-    SparkEntry.queries("m07_clip_neardup_pairs")(spark, sf).collect()
-      .foreach(r => assert(r.getInt(2) <= 7))
+    // brute-force truth from the per-(id, slot) fingerprint dump the
+    // query just materialized (path = Queries' derived-dump layout);
+    // driver-side tight loop: ~8M id pairs × k² bitcounts at 4000 rows
+    val byId = spark.read
+      .parquet(s"/tmp/graft_derived/${new java.io.File(sfDir).getName}/$dump.parquet")
+      .collect().groupBy(_.getString(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)) }
+      .toArray.sortBy(_._1)
+    val truth = scala.collection.mutable.Set.empty[(String, String)]
+    var i = 0
+    while (i < byId.length) {
+      val (ia, fa) = byId(i)
+      var j = i + 1
+      while (j < byId.length) {
+        val (ib, fb) = byId(j)
+        var best = 64
+        var x = 0
+        while (x < fa.length) {
+          var y = 0
+          while (y < fb.length) {
+            val h = java.lang.Long.bitCount(fa(x) ^ fb(y))
+            if (h < best) best = h
+            y += 1
+          }
+          x += 1
+        }
+        if (best <= maxHam) truth += ((ia, ib))
+        j += 1
+      }
+      i += 1
+    }
+    assert(found === truth.toSet,
+      s"$query diverges from brute force: missed=${(truth -- found).take(5)} " +
+        s"extra=${(found -- truth).take(5)}")
   }
 
-  test("m10 audio near-dup: recall 1.0 over injected regain/atrim/renoise dups") {
-    val found = SparkEntry.queries("m10_audio_neardup_pairs")(spark, sf)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    val labels = graft.sources.SyntheticMedia
-      .audioDupLabels(spark, Queries.mediaRows(sf)).collect()
-    assert(labels.nonEmpty)
-    labels.foreach { l =>
-      val p = if (l.dup_id < l.src_id) (l.dup_id, l.src_id) else (l.src_id, l.dup_id)
-      assert(found.contains(p), s"missed ${l.kind} dup pair $p")
-    }
-    // the confirm threshold (7 = the 8-band pigeonhole bound) sits below
-    // the measured random floor (17, AudioFingerprintSpec)
-    SparkEntry.queries("m10_audio_neardup_pairs")(spark, sf).collect()
-      .foreach(r => assert(r.getInt(2) <= 7))
+  test("m07 clip near-dup: recall 1.0 + brute-force pair equality over injected trim/renoise/refps dups") {
+    assertMediaDedup("m07_clip_neardup_pairs", "m07_frame_phash", 2, sf,
+      graft.sources.SyntheticMedia.videoDupLabels(spark, Queries.mediaRows(sf)).collect())
+  }
+
+  test("m10 audio near-dup: recall 1.0 + brute-force pair equality over injected regain/atrim/renoise dups") {
+    assertMediaDedup("m10_audio_neardup_pairs", "m10_audio_fp", 5, sf,
+      graft.sources.SyntheticMedia.audioDupLabels(spark, Queries.mediaRows(sf)).collect())
+  }
+
+  test("m07/m10 second-scale gate: recall + brute-force equality hold at 4000 media rows (20x the driver gate)") {
+    // the scale where single-block banding silently lost recall (m07:
+    // 197/400 dup pairs, m10: 6/400 — the defect the guaranteed-radius
+    // joint keys fix); run the REAL query path at sf0.1's media row count
+    val sfBig = "/root/testdata/sf0.1"
+    assertMediaDedup("m07_clip_neardup_pairs", "m07_frame_phash", 2, sfBig,
+      graft.sources.SyntheticMedia.videoDupLabels(spark, Queries.mediaRows(sfBig)).collect())
+    assertMediaDedup("m10_audio_neardup_pairs", "m10_audio_fp", 5, sfBig,
+      graft.sources.SyntheticMedia.audioDupLabels(spark, Queries.mediaRows(sfBig)).collect())
   }
 
   test("d06 clusters: every confirmed d04 pair lands in one cluster") {

@@ -47,8 +47,9 @@ class AudioFingerprintSpec extends AnyFunSuite {
     val dupMax = byKind.map(_._2).max
     info(s"dup min-Hamming max by kind: " +
       byKind.groupBy(_._1).map { case (k, v) => s"$k=${v.map(_._2).max}" }.mkString(", "))
-    // the m10 confirm threshold (7) must cover every injected dup kind
-    assert(dupMax <= 7, s"a dup pair exceeds the banding pigeonhole bound: $dupMax")
+    // the m10 confirm threshold (5 = the 3-of-8 joint-key pigeonhole
+    // radius) must cover every injected dup kind
+    assert(dupMax <= 5, s"a dup pair exceeds the banding pigeonhole bound: $dupMax")
 
     val rng = new scala.util.Random(7)
     val ids = fps.keys.toArray.sorted
@@ -59,9 +60,9 @@ class AudioFingerprintSpec extends AnyFunSuite {
       .take(2000).toSeq
     val rh = rand.map { case (a, b) => minHam(a, b) }.sorted
     info(s"random floor: min=${rh.head} p1=${rh(rh.size / 100)} median=${rh(rh.size / 2)}")
-    // random pairs sit far above the confirm threshold: the envelope bits
-    // are iid-ish across rows, so the floor is near 64/2
-    assert(rh.head > 7, s"random pair inside the confirm threshold: ${rh.head}")
+    // random pairs sit far above the confirm threshold (5): the envelope
+    // bits are iid-ish across rows, so the floor is near 64/2
+    assert(rh.head > 5, s"random pair inside the confirm threshold: ${rh.head}")
   }
 
   // ---------------- exact kernel properties (scalacheck)
