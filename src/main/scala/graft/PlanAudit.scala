@@ -35,7 +35,7 @@ object PlanAudit {
       "m07_clip_neardup_pairs", "m10_audio_neardup_pairs",
       "d16_decontaminate",
       "d17_decontaminate_bloom", "e07_semantic_dedup",
-      "t12_doc_repetition").foreach(dump)
+      "t12_doc_repetition", "e08_pq_adc_topk").foreach(dump)
     spark.stop()
   }
 }

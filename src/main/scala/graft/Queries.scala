@@ -1707,7 +1707,64 @@ object Queries {
           codebook, assign, minCos = 0.4)
         .select(col("id").as("vec_id"), col("cell"), col("ccos"),
           col("rk"), col("keep"))
+    },
+    // IVF-PQ with asymmetric distance (ADC) — the third ANN shape next to
+    // e03's hyperplane LSH and e04's flat IVF, and the one that actually
+    // runs at 10⁹ rows: the search side holds m-BYTE CODES (here m=8, a
+    // 32× payload compression at dim 64/f32), never candidate vectors.
+    // Candidates reuse e04's materialized cell assignment (the Lloyd
+    // rounds + assignment flops run once per sweep across e04/e06/e07/
+    // e08); the per-subspace codebooks are dumped and the oracle
+    // re-derives ENCODING, ADC, and ranking from that dump + the raw
+    // table — the engine's quantizer is never consulted. e06's audit
+    // pattern (recall vs exact ground truth) is applied to PQ in the
+    // spec, where the quantization error is measured, not assumed.
+    "e08_pq_adc_topk" -> { (s, d) =>
+      val (_, assign) = ivfModel(s, d)
+      val (cbLit, codes) = pqModel(s, d)
+      Similarity.ivfPqTopK(normalizedEmb(s, d), "vec_id", "embedding",
+        assign, codes, cbLit, m = pqM, ks = pqKs, subDim = pqSubDim, k = 5)
     })
+
+  /** PQ geometry for the 64-dim embeddings table: the standard PQ8×8 —
+    * 8 subspaces × 8 dims, 256 centroids each (8 bits/subspace = m bytes
+    * per vector). A coarser ks=16 probe measurably failed here: with
+    * 0.5 bits/dim the reconstruction error flattens every ADC toward
+    * ‖q‖² ≈ 1 and planted near-dups drown in quantization noise (5/7
+    * pair recall); at 8 bits/subspace the spec's recall gate holds. */
+  private val pqM = 8
+  private val pqKs = 256
+  private val pqSubDim = 8
+
+  /** L2-normalized embeddings: PQ quantizes in L2, but the dedup tier's
+    * ground truth is COSINE — over unit vectors ‖q−x‖² = 2 − 2·cos(q,x),
+    * so the ADC ranking becomes monotone in cosine and the e04/e02 gates
+    * apply apples-to-apples (the standard cosine-metric PQ posture).
+    * Zero vectors pass through unnormalized. */
+  private def normalizedEmb(s: SparkSession, d: String): DataFrame = {
+    val e0 = transform(col("embedding"), x => x.cast("double"))
+    t(s, d, "embeddings")
+      .select(col("vec_id"), e0.as("e0"),
+        sqrt(Similarity.dot(e0, e0)).as("nrm"))
+      .select(col("vec_id"),
+        when(col("nrm") === 0.0, col("e0"))
+          .otherwise(transform(col("e0"), x => x / col("nrm"))).as("embedding"))
+  }
+
+  /** The trained PQ model over the NORMALIZED table: per-subspace
+    * codebooks (dumped — the e08 oracle's sole model input) + the encoded
+    * corpus (dumped — the persisted compressed inverted file; encode runs
+    * once per (sfDir, JVM), not per consumer). */
+  private def pqModel(s: SparkSession, d: String): (Column, DataFrame) = {
+    val codebook = dumpDerived(s, d, "e08_pq_codebook")(
+      Similarity.pqTrain(normalizedEmb(s, d), "vec_id", "embedding",
+        m = pqM, subDim = pqSubDim, ks = pqKs))
+    val cbLit = Similarity.pqCodebookLiteral(codebook, pqM, pqKs, pqSubDim)
+    val codes = dumpDerived(s, d, "e08_codes")(
+      normalizedEmb(s, d).select(col("vec_id").as("id"),
+        Similarity.pqEncodeCol(col("embedding"), cbLit, pqM, pqKs, pqSubDim).as("codes")))
+    (cbLit, codes)
+  }
 
   /** The e04 IVF top-k pipeline, final result dumped once per (sfDir,
     * JVM) — e04 returns it and e06 audits it against brute force.
@@ -1889,6 +1946,64 @@ object Queries {
         |SELECT i.id AS vec_id, i.cell, i.ccos, i.rk,
         |  CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS keep
         |FROM items i LEFT JOIN drops d ON d.id = i.id""".stripMargin,
+    // full IVF-PQ replica from the raw table + the two dumps: home/probe
+    // cells exactly as e04's (dumped IVF codebook), PQ codes re-derived
+    // per (vector, subspace) as the argmin of the squared L2 against the
+    // dumped per-subspace codebook (ties to the lowest code — the
+    // engine's strict-< rule), ADC = Σ over subspaces of the exact query
+    // subvector against the candidate's quantized subvector, top-5 by
+    // (round-6 adc asc, neighbor). The engine's quantizer/encoder is
+    // never consulted — a wrong argmin, a transposed subspace, or a
+    // ranking-order defect all fail the hash gate.
+    "e08_pq_adc_topk" ->
+      s"""WITH vr AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |v AS (SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
+        |        ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+        |      END AS e FROM vr),
+        |ivf AS (SELECT cell, cv::DOUBLE[] AS ce
+        |        FROM read_parquet(${oraclePath("e04_centroids")})),
+        |pq AS (SELECT m, code, cv::DOUBLE[] AS c
+        |       FROM read_parquet(${oraclePath("e08_pq_codebook")})),
+        |cscored AS (
+        |  SELECT vr.vec_id AS id, ivf.cell,
+        |    round(list_dot_product(vr.e, ivf.ce) /
+        |      sqrt(list_dot_product(vr.e, vr.e) * list_dot_product(ivf.ce, ivf.ce)), 6) AS csim
+        |  FROM vr CROSS JOIN ivf),
+        |cranked AS (
+        |  SELECT id, cell,
+        |    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell) AS crk
+        |  FROM cscored),
+        |sq AS (
+        |  SELECT v.vec_id, pq.m, pq.code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (v.e[pq.m * 8 + i] - pq.c[i]) * (v.e[pq.m * 8 + i] - pq.c[i]))) AS d2
+        |  FROM v CROSS JOIN pq),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS r
+        |    FROM sq) WHERE r = 1),
+        |members AS (SELECT cell, id AS neighbor FROM cranked WHERE crk = 1),
+        |probes AS (SELECT id AS vec_id, cell FROM cranked WHERE crk <= 8),
+        |cand AS (
+        |  SELECT p.vec_id, mb.neighbor
+        |  FROM probes p JOIN members mb ON p.cell = mb.cell AND p.vec_id <> mb.neighbor),
+        |parts AS (
+        |  SELECT cd.vec_id, cd.neighbor, pq.m,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (qv.e[pq.m * 8 + i] - pq.c[i]) * (qv.e[pq.m * 8 + i] - pq.c[i]))) AS d2
+        |  FROM cand cd
+        |  JOIN v qv ON qv.vec_id = cd.vec_id
+        |  JOIN codes k ON k.vec_id = cd.neighbor
+        |  JOIN pq ON pq.m = k.m AND pq.code = k.code),
+        |scoredq AS (
+        |  SELECT vec_id, neighbor, round(sum(d2), 6) AS adc
+        |  FROM parts GROUP BY vec_id, neighbor),
+        |rr AS (
+        |  SELECT vec_id, neighbor, adc,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY adc, neighbor) AS rk
+        |  FROM scoredq)
+        |SELECT vec_id, neighbor, adc, rk FROM rr WHERE rk <= 5""".stripMargin,
     // independent clustering replica: exact brute-force edge set (the
     // same gate e03 passes at recall 1.0) closed transitively, min-id
     // component labels, absent vectors as singletons — the d06 pattern

@@ -202,6 +202,68 @@ object SketchKernels {
         if ((graft.core.Murmur3.hash64(s"$t:$p:$i", seed) & 1L) == 0L) 1.0 else -1.0
       })
 
+  /** Product-quantization encode: per subspace `j` (subvector
+    * `v[j·subDim, (j+1)·subDim)`), the code of the L2-nearest centroid in
+    * the flat codebook (`cb[j·ks + c]`, ties to the LOWEST code — strict
+    * `<` on a left-to-right squared-distance accumulation, so the argmin
+    * is bit-deterministic and cross-engine replicable). */
+  def pqEncode(v: ArrayData, cb: ArrayData, m: Int, ks: Int, subDim: Int): ArrayData = {
+    if (v.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} elements, need ${m * subDim}")
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        val cent = cb.getArray(j * ks + c)
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = v.getDouble(j * subDim + i) - cent.getDouble(i)
+          s += x * x
+          i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric PQ distance (ADC): Σ_j ‖q_j − C[j][codes_j]‖² — the exact
+    * query subvector against the candidate's QUANTIZED subvectors, in
+    * fixed (j asc, i asc) accumulation order. The candidate side is the
+    * m-byte code array, never the vector — the PQ memory story. */
+  def pqAdc(v: ArrayData, codes: ArrayData, cb: ArrayData,
+      m: Int, ks: Int, subDim: Int): Double = {
+    if (v.numElements() < m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_adc: query vector has ${v.numElements()} elements, need ${m * subDim}")
+    if (codes.numElements() < m)
+      throw new IllegalArgumentException(
+        s"pq_adc: code array has ${codes.numElements()} entries, need $m")
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      val cent = cb.getArray(j * ks + codes.getInt(j))
+      var s = 0.0
+      var i = 0
+      while (i < subDim) {
+        val x = v.getDouble(j * subDim + i) - cent.getDouble(i)
+        s += x * x
+        i += 1
+      }
+      total += s
+      j += 1
+    }
+    total
+  }
+
   /** Sign-bit hyperplane LSH keys over an ARRAY<FLOAT> embedding —
     * codegen'd twin of the UDF in `Similarity.hyperplaneKeysUdf` (same
     * plane derivation, same accumulation order, same probe-key layout). */
@@ -403,6 +465,46 @@ case class AngularMinhash(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =
     copy(newFirst, newSecond, newThird, newFourth)
+}
+
+/** `pq_encode(vec, codebook)` — product-quantization codes (ARRAY<INT>,
+  * one per subspace). The codebook rides the plan as a nested-array
+  * LITERAL (flat `j·ks + c` layout, m·ks·subDim doubles ≈ KBs — model
+  * output, exactly like the broadcast IVF codebook), so executors need no
+  * side channel and the expression codegens as one static call. */
+case class PqEncode(left: Expression, right: Expression,
+    m: Int, ks: Int, subDim: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(m > 0 && ks > 0 && subDim > 0, s"pq_encode: m=$m ks=$ks subDim=$subDim")
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any, cb: Any): Any =
+    SketchKernels.pqEncode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData], m, ks, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, cb) =>
+      s"graft.functions.expressions.SketchKernels.pqEncode($v, $cb, $m, $ks, $subDim)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `pq_adc(queryVec, codes, codebook)` — asymmetric PQ distance, codegen'd
+  * (the e08 rerank hot path: exact query side, m-byte candidate side). */
+case class PqAdc(first: Expression, second: Expression, third: Expression,
+    m: Int, ks: Int, subDim: Int)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  require(m > 0 && ks > 0 && subDim > 0, s"pq_adc: m=$m ks=$ks subDim=$subDim")
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any, codes: Any, cb: Any): Any =
+    SketchKernels.pqAdc(v.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      cb.asInstanceOf[ArrayData], m, ks, subDim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, codes, cb) =>
+      s"graft.functions.expressions.SketchKernels.pqAdc($v, $codes, $cb, $m, $ks, $subDim)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
 case class CaptionLcs(left: Expression, right: Expression)

@@ -486,4 +486,180 @@ object Similarity {
       .select(col("id"), col("cell"), col("ccos"), col("rk"),
         when(col("dropped").isNull, lit(1)).otherwise(lit(0)).as("keep"))
   }
+
+  // ------------------------------------------------------------ product quantization
+
+  /**
+   * Product-quantization training (Jégou et al. 2011, the FAISS `PQm×ks`
+   * index family): split the `dim`-vector into `m` contiguous subspaces of
+   * `subDim = dim/m` components and train an independent ks-centroid L2
+   * k-means codebook per subspace. A vector then compresses to `m` small
+   * codes (m bytes at ks ≤ 256) — at 10⁹ rows the search side holds
+   * `m·n` bytes instead of `4·dim·n` (32× at dim 64 / m 8), which is THE
+   * reason PQ is the production ANN posture at 100 TB.
+   *
+   * Training is driver-local over a bounded sample, the [[ivfTrain]]
+   * `collectTrain` posture (k-means always trains on a sample that fits
+   * memory; `trainSampleMod` > 1 makes `df` that sample at scale via a
+   * deterministic hash-slice). Init per subspace: the `ks` subvectors of
+   * the rows with the smallest `(xxhash64(id), id)` — the ivf init rule,
+   * shared by all subspaces. Assignment ties go to the LOWEST code
+   * (strict `<` on left-to-right squared-L2 accumulation); empty codes
+   * keep their previous centroid; 1e-12 fixpoint stop.
+   *
+   * Returns the codebook `(m: INT 0-based subspace, code: INT, cv:
+   * ARRAY<DOUBLE> subDim)`. Callers dump it — the e08 oracle re-derives
+   * encoding, ADC, and ranking from this dump alone.
+   */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      subDim: Int, ks: Int, iters: Int = 10, trainSampleMod: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = if (trainSampleMod <= 1) df
+      else df.where(pmod(xxhash64(col(idCol)), lit(trainSampleMod)) === 0)
+    val rows: Array[(Long, Long, Seq[Double])] = base
+      .select(xxhash64(col(idCol)).as("h"), col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Long, Seq[Double])].collect()
+    require(rows.nonEmpty, "pqTrain: empty training set")
+    val data: Array[Array[Double]] = rows.map(_._3.toArray)
+    require(data(0).length >= m * subDim,
+      s"pqTrain: dim ${data(0).length} < m*subDim ${m * subDim}")
+    val initOrder = rows.indices.sortBy(i => (rows(i)._1, rows(i)._2))
+    val k = math.min(ks, data.length)
+    val out = Seq.newBuilder[(Int, Int, Seq[Double])]
+    var j = 0
+    while (j < m) {
+      val off = j * subDim
+      def sq(v: Array[Double], c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < subDim) { val x = v(off + i) - c(i); s += x * x; i += 1 }
+        s
+      }
+      var cents: Array[Array[Double]] =
+        initOrder.take(k).map(i => data(i).slice(off, off + subDim)).toArray
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Long](k)
+        var r = 0
+        while (r < data.length) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) { // strict < = ties to the lowest code
+            val dd = sq(data(r), cents(c))
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += data(r)(off + i); i += 1 }
+          r += 1
+        }
+        val next = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+        converged = next.zip(cents).forall { case (a, b) =>
+          a.zip(b).forall { case (x, y) => math.abs(x - y) <= 1e-12 }
+        }
+        cents = next
+        it += 1
+      }
+      var c = 0
+      while (c < k) { out += ((j, c, cents(c).toSeq)); c += 1 }
+      j += 1
+    }
+    out.result().toDF("m", "code", "cv")
+  }
+
+  /** The trained codebook as a nested-array literal column (flat
+    * `j·ks + c` layout — [[graft.functions.expressions.PqEncode]]'s
+    * indexing). One model-size collect (m·ks·subDim doubles, KBs); the
+    * literal then rides the serialized plan to every executor. Missing
+    * (m, code) entries — possible only when the training set had fewer
+    * rows than ks — fail fast. */
+  def pqCodebookLiteral(codebook: DataFrame, m: Int, ks: Int, subDim: Int): Column = {
+    val spark = codebook.sparkSession
+    import spark.implicits._
+    val entries = codebook.select(col("m").cast("int"), col("code").cast("int"),
+        transform(col("cv"), x => x.cast("double")))
+      .as[(Int, Int, Seq[Double])].collect()
+      .map { case (j, c, cv) => ((j, c), cv) }.toMap
+    val flat: Array[Array[Double]] = Array.tabulate(m * ks) { i =>
+      entries.getOrElse((i / ks, i % ks),
+        throw new IllegalArgumentException(
+          s"pqCodebookLiteral: codebook missing subspace ${i / ks} code ${i % ks}")).toArray
+    }
+    typedlit(flat.toSeq.map(_.toSeq))
+  }
+
+  /** Codegen'd PQ encode column: ARRAY<DOUBLE> vector → ARRAY<INT> codes. */
+  def pqEncodeCol(vec: Column, codebookLit: Column, m: Int, ks: Int, subDim: Int): Column =
+    Bridge.column(graft.functions.expressions.PqEncode(
+      Bridge.expression(vec), Bridge.expression(codebookLit), m, ks, subDim))
+
+  /** Codegen'd ADC column: exact query vector × candidate codes. */
+  def pqAdcCol(vec: Column, codes: Column, codebookLit: Column,
+      m: Int, ks: Int, subDim: Int): Column =
+    Bridge.column(graft.functions.expressions.PqAdc(
+      Bridge.expression(vec), Bridge.expression(codes),
+      Bridge.expression(codebookLit), m, ks, subDim))
+
+  /** UDF twin of [[pqEncodeCol]] — differential-test oracle (same argmin
+    * tie rule, same accumulation order). */
+  def pqEncodeUdf(vec: Column, codebook: Array[Array[Double]],
+      m: Int, ks: Int, subDim: Int): Column = {
+    val f = udf((v: Seq[Double]) => {
+      if (v == null) null
+      else Array.tabulate(m) { j =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < ks) {
+          val cent = codebook(j * ks + c)
+          var s = 0.0
+          var i = 0
+          while (i < subDim) { val x = v(j * subDim + i) - cent(i); s += x * x; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        best
+      }
+    })
+    f(vec)
+  }
+
+  /**
+   * IVF-PQ top-k (ADC): per-query search restricted to the probed IVF
+   * cells, ranked by asymmetric PQ distance. The SEARCH side never touches
+   * the candidate vectors: cell members enter as `(cell, id, m codes)` —
+   * the compressed inverted file, m bytes of payload per row where
+   * [[ivfSearch]] carries 8·dim — and only the QUERY side joins its exact
+   * vector. Ranking uses `round(adc, 6)` ascending (neighbor id
+   * tie-break), the value the cross-engine oracle reproduces.
+   *
+   * `codes` must be a materialized `(id, codes)` table (the persisted
+   * encoded corpus — encode runs once, not per search). Candidates come
+   * from the same materialized [[ivfAssign]] table e04 search uses:
+   * one cell-keyed equi-join, no crossJoin anywhere.
+   */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      assignment: DataFrame, codes: DataFrame, codebookLit: Column,
+      m: Int, ks: Int, subDim: Int, k: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val members = assignment.where(col("crk") === 1)
+      .join(codes, "id")
+      .select(col("cell"), col("id").as("neighbor"), col("codes"))
+    val probes = assignment.join(v, "id")
+      .select(col("id").as("vec_id"), col("v").as("va"), col("cell"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("adc"), col("neighbor"))
+    probes.join(members, "cell")
+      .where(col("vec_id") =!= col("neighbor"))
+      .withColumn("adc", round(pqAdcCol(col("va"), col("codes"), codebookLit, m, ks, subDim), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("vec_id"), col("neighbor"), col("adc"), col("rk"))
+  }
 }

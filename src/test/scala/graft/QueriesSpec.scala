@@ -722,6 +722,92 @@ class QueriesSpec extends AnyFunSuite {
     assert(searchPlan.contains("WindowGroupLimit"), searchPlan)
   }
 
+  test("e08 PQ: codes and ADC match plain-Scala recomputes; expression == UDF twin") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (m, ks, subDim) = (8, 16, 8)
+    val cbDf = Similarity.pqTrain(emb, "vec_id", "embedding", m, subDim, ks)
+    assert(cbDf.count() === (m * ks).toLong)
+    val cb: Map[(Int, Int), Array[Double]] = cbDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    cb.values.foreach(cv => assert(cv.length === subDim))
+    val cbFlat = Array.tabulate(m * ks)(i => cb((i / ks, i % ks)))
+    val cbLit = Similarity.pqCodebookLiteral(cbDf, m, ks, subDim)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def encodeLocal(v: Array[Double]): Array[Int] = Array.tabulate(m) { j =>
+      (0 until ks).minBy { c => // minBy keeps the FIRST min — the strict-< tie rule
+        val cent = cbFlat(j * ks + c)
+        var s = 0.0; var i = 0
+        while (i < subDim) { val x = v(j * subDim + i) - cent(i); s += x * x; i += 1 }
+        s
+      }
+    }
+    val viaExpr = emb.select(col("vec_id"),
+        Similarity.pqEncodeCol(col("embedding"), cbLit, m, ks, subDim).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val viaUdf = emb.select(col("vec_id"),
+        Similarity.pqEncodeUdf(expr("transform(embedding, x -> cast(x as double))"),
+          cbFlat, m, ks, subDim).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(viaExpr.keySet === vecs.keySet)
+    vecs.foreach { case (id, v) =>
+      val expected = encodeLocal(v)
+      assert(viaExpr(id).toSeq === expected.toSeq, s"vec $id expression encode")
+      assert(viaUdf(id).toSeq === expected.toSeq, s"vec $id udf encode")
+    }
+    // ADC kernel: exact recompute over a handful of (query, candidate) pairs
+    val ids = vecs.keys.toSeq.sorted.take(4)
+    import spark.implicits._
+    val pairs = for (q <- ids; c <- ids if q != c) yield (q, c)
+    val got = pairs.toDF("q", "c")
+      .join(emb.select(col("vec_id").as("q"), col("embedding").as("qv")), "q")
+      .join(emb.select(col("vec_id").as("c"), col("embedding").as("cv")), "c")
+      .select(col("q"), col("c"), Similarity.pqAdcCol(col("qv"),
+        Similarity.pqEncodeCol(col("cv"), cbLit, m, ks, subDim), cbLit, m, ks, subDim).as("adc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { case (q, c) =>
+      val qv = vecs(q)
+      val codes = encodeLocal(vecs(c))
+      var total = 0.0
+      for (j <- 0 until m) {
+        val cent = cbFlat(j * ks + codes(j))
+        for (i <- 0 until subDim) { val x = qv(j * subDim + i) - cent(i); total += x * x }
+      }
+      assert(math.abs(got((q, c)) - total) < 1e-9, s"adc($q,$c)")
+    }
+  }
+
+  test("e08 PQ top-k recovers planted near-dup pairs; ranks by quantized distance only") {
+    val brute = SparkEntry.queries("e02_embedding_pairs")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "e02 must yield pairs at this sf")
+    val pq = SparkEntry.queries("e08_pq_adc_topk")(spark, sf)
+    val hits = pq.select("vec_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = brute.count(p => hits(p) || hits(p.swap))
+    // planted near-dups are ~identical vectors: their quantized distance
+    // is near the codebook's intrinsic error floor, far below random
+    // neighbors — PQ at m=8/ks=16 must surface them like e04's exact
+    // rerank does
+    assert(hit >= math.ceil(brute.size * 0.9),
+      s"e08 pair recall $hit/${brute.size} below 0.9")
+    info(s"e08 PQ pair recall vs brute force: $hit/${brute.size}")
+    // structural: 5 ranked rows per query, adc ascending in rank
+    val byQ = pq.collect().groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to sorted.length).toSeq, s"q $q ranks")
+      assert(sorted.map(_.getDouble(2)).toSeq ===
+        sorted.map(_.getDouble(2)).sorted.toSeq, s"q $q adc order")
+    }
+    // the search plan joins the compressed code table — never a cartesian,
+    // never the assignment flop pass
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("t09 plan: one stratum exchange, rank limit pushed below the window") {
     val df = SparkEntry.queries("t09_stratified_sample")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
