@@ -661,9 +661,92 @@ object Queries {
           col("top_bigram_n"), col("n_dup_g3"),
           round(col("n_dup_g3") * lit(1.0) /
             greatest(col("n_words") - 2, lit(1)), 6).as("dup_g3_frac"))
+    },
+    // KMV (bottom-k) CARDINALITY ESTIMATION — sourmash's own sketch shape
+    // (the k smallest distinct hash values, src/lib.rs:192-245's bottom-k
+    // mode) reused as the classic distinct-count estimator a corpus tier
+    // runs per shard/source: est = (k−1)·H/h_k where h_k is the k-th
+    // smallest distinct hash in a space of size H (Bar-Yossef et al.
+    // 2002). Registered as a CALIBRATION AUDIT (the d15/e06 discipline):
+    // estimate vs exact distinct char-8-gram count per source with the
+    // relative error made measurable — mean |err| ≈ 4% at k=256, the
+    // 1/√k regime. The hash is md5's leading 52 bits, replicable in
+    // DuckDB digit-by-digit, so the oracle re-derives the ENTIRE
+    // estimator — ranking, kth-hash fraction, estimate — from raw text.
+    "t13_cardinality_kmv" -> { (s, d) =>
+      kmvCardinality(t(s, d, "documents"), kmvK)
     })
 
+  /** t13's estimator body; `k` is a parameter so the spec can drive the
+    * degenerate branch (fewer distinct values than k → the sketch IS the
+    * exact set and the estimate must equal the exact count). */
+  private[graft] val kmvK = 256
+  private[graft] def kmvCardinality(docs: DataFrame, k: Int): DataFrame = {
+    // distinct (source, gram) is the one heavyweight exchange — the
+    // AUDIT's exact side. The production side is the sketch alone: the
+    // rank ≤ k window gets a partial WindowGroupLimit (each map
+    // partition keeps ≤ k rows per source BEFORE the exchange), so at
+    // 100 TB the estimator's shuffle carries ≤ k·partitions 40-byte
+    // rows per source while the exact side is what a pipeline pays ONCE
+    // to pick k, then drops.
+    val grams = docs.select(col("source"),
+        explode(when(length(col("text")) >= 8,
+          transform(sequence(lit(1), length(col("text")) - 7),
+            i => col("text").substr(i, lit(8))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+    val hashed = grams.select(col("source"), md5(col("gram")).as("h"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sketch = hashed.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .groupBy(col("source"))
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("n_in"))
+    val exact = grams.groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+    // the kth hash's leading 13 hex digits as an exact 52-bit integer in
+    // a double (< 2^53, so conv→cast is exact); u = hv/2^52 is the
+    // fraction of the hash space covered by the k smallest values
+    val hv = conv(substring(col("kth"), 1, 13), 16, 10).cast("double")
+    exact.join(sketch, "source")
+      .withColumn("est_distinct",
+        when(col("n_in") < k, round(col("exact_distinct") * lit(1.0), 3))
+          .otherwise(round(lit((k - 1).toDouble) * pow(lit(2.0), lit(52.0)) / hv, 3)))
+      .select(col("source"), col("exact_distinct"), col("est_distinct"),
+        round(abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct"), 6).as("rel_err"))
+  }
+
   private val textOracles: Map[String, String] = Map(
+    // full KMV replica from raw text: the 8-gram explode, the distinct
+    // set, md5 ranking (fixed-width lowercase hex, so lexicographic
+    // order IS numeric order in both engines), the kth hash's leading
+    // 52 bits rebuilt digit-by-digit as exact powers of two, and the
+    // (k−1)/u estimate — a wrong rank, a biased hash slice, or a
+    // fraction off by one nibble all fail the hash gate
+    "t13_cardinality_kmv" ->
+      """WITH g AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(range(1, CAST(len(text) AS BIGINT) - 6),
+        |      i -> substr(text, CAST(i AS INT), 8))) AS gram
+        |  FROM documents),
+        |h AS (SELECT source, md5(gram) AS h FROM g),
+        |r AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        |      FROM h),
+        |b AS (SELECT source, max(h) AS kth, count(*) AS n_in
+        |      FROM r WHERE rk <= 256 GROUP BY 1),
+        |e AS (SELECT source, count(*) AS exact_distinct FROM g GROUP BY 1),
+        |v AS (SELECT source, n_in,
+        |        list_sum(list_transform(range(13), i ->
+        |          (strpos('0123456789abcdef', substr(kth, CAST(i + 1 AS INT), 1)) - 1)
+        |            * 2.0 ** (4 * (12 - i)))) AS hv
+        |      FROM b),
+        |s AS (SELECT e.source, e.exact_distinct,
+        |        CASE WHEN v.n_in < 256 THEN round(e.exact_distinct * 1.0, 3)
+        |             ELSE round(255.0 * (2.0 ** 52) / v.hv, 3) END AS est_distinct
+        |      FROM e JOIN v USING (source))
+        |SELECT source, exact_distinct, est_distinct,
+        |  round(abs(est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
+        |FROM s""".stripMargin,
     "t12_doc_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -966,4 +966,58 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(stream === batch)
   }
+
+  test("t13 KMV: plain-Scala recompute matches; error is 1/sqrt(k)-sized; plan prunes rank") {
+    val k = Queries.kmvK
+    val got = SparkEntry.queries("t13_cardinality_kmv")(spark, sf)
+    // partial WindowGroupLimit: each map partition keeps <= k rows per
+    // source BEFORE the exchange — the property that makes the sketch
+    // side cheap at scale
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val rows = got.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.size === 20)
+    // exact local recompute of the whole estimator from raw text
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString
+    }
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val grams = ds.flatMap { case (_, t) =>
+        (0 to t.length - 8).map(i => t.substring(i, i + 8)) }.distinct
+      val hs = grams.map(md5hex).sorted
+      val exact = grams.length.toLong
+      val est =
+        if (hs.length < k) BigDecimal(exact.toDouble)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else {
+          val hv = java.lang.Long.parseLong(hs(k - 1).take(13), 16).toDouble
+          BigDecimal((k - 1).toDouble * math.pow(2.0, 52.0) / hv)
+            .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      val (gotExact, gotEst, gotErr) = rows(src)
+      assert(gotExact === exact, s"$src exact")
+      assert(gotEst === est, s"$src est")
+      assert(gotErr === BigDecimal(math.abs(est - exact) / exact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$src err")
+      // k=256 KMV one-sigma is 1/sqrt(k-2) ≈ 6.3%; past 4 sigma the
+      // est/exact sides disagree on the gram universe, not statistics
+      assert(gotErr <= 0.25, s"$src err $gotErr")
+    }
+  }
+
+  test("t13 KMV degenerate branch: fewer distinct values than k means est == exact") {
+    val out = Queries.kmvCardinality(
+      spark.read.parquet(s"$sf/documents.parquet"), k = 1 << 20).collect()
+    assert(out.length === 20)
+    out.foreach { r =>
+      assert(r.getDouble(2) === r.getLong(1).toDouble, r.getString(0))
+      assert(r.getDouble(3) === 0.0, r.getString(0))
+    }
+  }
 }
