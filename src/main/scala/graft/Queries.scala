@@ -61,6 +61,20 @@ object Queries {
     s.read.parquet(path)
   }
 
+  /** The events table re-laid-out partitioned by event date (written once
+    * per (sfDir, JVM), the dumpDerived discipline): q12's pruned-scan
+    * input. Read back, `event_date` is a partition DIRECTORY column —
+    * it never occupies file bytes and a literal filter on it prunes at
+    * planning time. */
+  private[graft] def partitionedEvents(s: SparkSession, d: String): DataFrame = {
+    val path = s"${derivedDir(d)}/events_by_date.parquet"
+    dumpedPaths.getOrElseUpdate(path,
+      t(s, d, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(path))
+    s.read.parquet(path)
+  }
+
   /** Oracle-side path for a derived table (driver gate runs at sf0.01);
     * Spark writes a directory of part files — glob them. */
   private def oraclePath(name: String): String =
@@ -267,6 +281,24 @@ object Queries {
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     },
+    // PARTITION-PRUNED SCAN — the third scan-cost lever next to q01's
+    // predicate pushdown and q10's bucketing, and the dominant one at
+    // 100 TB: a date-partitioned layout turns "two days of a 30-day
+    // corpus" from a full scan into reading 2/30 of the directories,
+    // decided at PLANNING time (static PartitionFilters — the scan never
+    // lists, opens, or footers the other 28 days). The partitioned
+    // write is the once-per-corpus layout cost (the Iceberg-shaped
+    // posture: partition spec = to_date(ts)); the spec asserts the
+    // pruned plan shape (PartitionFilters non-empty, event_date absent
+    // from ReadSchema, partition count 2).
+    "q12_partition_pruned_scan" -> { (s, d) =>
+      partitionedEvents(s, d)
+        .where(col("event_date").isin("2024-01-05", "2024-01-06"))
+        .groupBy(col("event_date").cast("string").as("event_date"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          max(col("value")).as("max_value"))
+    },
     // bucketed co-located join: both sides written bucketBy the join key,
     // so the join plans with ZERO exchanges — at 100 TB this turns the
     // recurring fact-to-fact join from the dominant shuffle into a local
@@ -373,7 +405,17 @@ object Queries {
     "q11_salted_skew_agg" ->
       """SELECT event_type, count(*) AS n,
         |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    // the oracle scans the UNPARTITIONED source with the equivalent date
+    // predicate — equality proves the partitioned re-layout is lossless
+    // and the pruned scan answers exactly the full-scan question
+    "q12_partition_pruned_scan" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  max(value) AS max_value
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-05', '2024-01-06')
+        |GROUP BY 1, 2""".stripMargin)
 
   // ================================================================ d: dedup family
 

@@ -1011,6 +1011,40 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q12 partitioned scan: static PartitionFilters prune to 2 of 30 days") {
+    val df = SparkEntry.queries("q12_partition_pruned_scan")(spark, sf)
+    // sparkPlan, not executedPlan: the AQE wrapper is a leaf and hides
+    // the scan from node-type traversal (the e04 plan-test note)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("events_by_date")) => f
+    }.getOrElse(fail("no FileSourceScanExec over events_by_date in the plan"))
+    // pruning is decided at planning time: the filter lives in
+    // PartitionFilters (not DataFilters), event_date never occupies file
+    // bytes (absent from ReadSchema), and only 2 of the 30 day
+    // directories are listed into the scan
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    assert(scan.partitionFilters.mkString.contains("event_date"), scan.toString)
+    assert(!scan.requiredSchema.fieldNames.contains("event_date"), scan.toString)
+    assert(scan.inputRDDs().head.partitions.nonEmpty)
+    val partDirs = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(partDirs.length === 2, s"selected partitions: ${partDirs.length}")
+    // and the pruned result equals the full-scan answer (the oracle's
+    // question, re-asked in-engine)
+    val full = spark.read.parquet(s"$sf/events.parquet")
+      .where(date_format(col("ts"), "yyyy-MM-dd")
+        .isin("2024-01-05", "2024-01-06"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        max(col("value")).as("max_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val pruned = df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(pruned === full)
+  }
+
   test("t13 KMV degenerate branch: fewer distinct values than k means est == exact") {
     val out = Queries.kmvCardinality(
       spark.read.parquet(s"$sf/documents.parquet"), k = 1 << 20).collect()
