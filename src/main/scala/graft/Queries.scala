@@ -75,6 +75,18 @@ object Queries {
     s.read.parquet(path)
   }
 
+  /** A one-row-per-date dimension (the star-schema date_dim), derived
+    * deterministically from events and dumped once per (sfDir, JVM):
+    * q13's broadcast side. `date_key` is DATE — the partitioned fact's
+    * inferred partition-column type, so the DPP join key needs no cast. */
+  private[graft] def dateDim(s: SparkSession, d: String): DataFrame =
+    dumpDerived(s, d, "date_dim") {
+      t(s, d, "events")
+        .select(to_date(col("ts")).as("date_key")).distinct()
+        .withColumn("dow", dayofweek(col("date_key")))
+        .withColumn("is_weekend", col("dow") === 1 || col("dow") === 7)
+    }
+
   /** Oracle-side path for a derived table (driver gate runs at sf0.01);
     * Spark writes a directory of part files — glob them. */
   private def oraclePath(name: String): String =
@@ -299,6 +311,35 @@ object Queries {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
           max(col("value")).as("max_value"))
     },
+    // DYNAMIC partition pruning — q12's planning-time prune needs the
+    // dates as literals; the production star-join shape doesn't have
+    // them (the filter lives on a DIMENSION attribute — here "weekend"
+    // — and only the join knows which fact partitions survive). DPP
+    // closes that gap at RUNTIME: the broadcast of the filtered dim is
+    // REUSED as a pruning predicate on the fact scan's partition
+    // column, so the fact side still reads 8 of 30 day directories
+    // even though no date literal appears anywhere in the query. The
+    // dim carries an explicit broadcast hint — it is model-sized by
+    // construction (one row per date), and the hint is what lets DPP
+    // fire under the session's disabled static-broadcast threshold
+    // (reuseBroadcastOnly, the default). Spec asserts the
+    // dynamicpruningexpression on the scan and re-asks the full-scan
+    // question in-engine.
+    "q13_dpp_star_join" -> { (s, d) =>
+      val fact = partitionedEvents(s, d)
+      // the weekend filter as dow COMPARISONS, not the bare boolean
+      // column: PartitionPruning only fires on a "likely selective"
+      // predicate shape (comparisons/In/...), and a bare boolean
+      // attribute — or `=== true`, which BooleanSimplification strips
+      // first — is not one
+      val dim = dateDim(s, d).where(col("dow") === 1 || col("dow") === 7)
+      fact.join(broadcast(dim.select(col("date_key"))),
+          fact("event_date") === col("date_key"))
+        .groupBy(col("event_date").cast("string").as("event_date"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          max(col("value")).as("max_value"))
+    },
     // bucketed co-located join: both sides written bucketBy the join key,
     // so the join plans with ZERO exchanges — at 100 TB this turns the
     // recurring fact-to-fact join from the dominant shuffle into a local
@@ -415,6 +456,19 @@ object Queries {
         |  max(value) AS max_value
         |FROM events
         |WHERE strftime(ts, '%Y-%m-%d') IN ('2024-01-05', '2024-01-06')
+        |GROUP BY 1, 2""".stripMargin,
+    // the dim rebuilt from raw events with DuckDB's own calendar
+    // (isodow 6/7 = Spark dayofweek 7/1); no date literal anywhere —
+    // the weekend ATTRIBUTE does the filtering, as in the engine
+    "q13_dpp_star_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS date_key FROM events
+        |  ),
+        |wk AS (SELECT date_key FROM dim WHERE isodow(date_key) IN (6, 7))
+        |SELECT strftime(e.ts, '%Y-%m-%d') AS event_date, e.event_type,
+        |  count(*) AS n, count(DISTINCT e.user_id) AS n_users,
+        |  max(e.value) AS max_value
+        |FROM events e JOIN wk ON CAST(e.ts AS DATE) = wk.date_key
         |GROUP BY 1, 2""".stripMargin)
 
   // ================================================================ d: dedup family

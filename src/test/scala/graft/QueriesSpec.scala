@@ -1045,6 +1045,51 @@ class QueriesSpec extends AnyFunSuite {
     assert(pruned === full)
   }
 
+  test("q13 DPP: the weekend dim prunes the fact scan to 8 of 30 days at runtime") {
+    val df = SparkEntry.queries("q13_dpp_star_join")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the FINAL adaptive plan, post-execution: the fact scan must carry a
+    // dynamic pruning predicate on the partition column, and its runtime
+    // metric must show only the weekend partitions were read
+    val fin = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // materialized query stages are leaves — recurse through them
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      }.flatten
+    val scan = scans(fin).find(
+      _.relation.location.rootPaths.exists(_.toString.contains("events_by_date")))
+      .getOrElse(fail(s"no events_by_date scan in the final plan:\n$fin"))
+    assert(scan.partitionFilters.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+      scan.partitionFilters.mkString("; "))
+    assert(scan.metrics.contains("numPartitions"), scan.metrics.keySet)
+    assert(scan.metrics("numPartitions").value === 8,
+      s"partitions read: ${scan.metrics("numPartitions").value}")
+    // weekend dates only, and equality with the full-scan answer
+    val weekends = Set("2024-01-06", "2024-01-07", "2024-01-13", "2024-01-14",
+      "2024-01-20", "2024-01-21", "2024-01-27", "2024-01-28")
+    assert(rows.map(_.getString(0)).toSet === weekends)
+    val full = spark.read.parquet(s"$sf/events.parquet")
+      .where(date_format(col("ts"), "yyyy-MM-dd")
+        .isInCollection(weekends))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+        max(col("value")).as("max_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap === full)
+  }
+
   test("t13 KMV degenerate branch: fewer distinct values than k means est == exact") {
     val out = Queries.kmvCardinality(
       spark.read.parquet(s"$sf/documents.parquet"), k = 1 << 20).collect()
