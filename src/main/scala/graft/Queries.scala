@@ -2737,6 +2737,55 @@ object Queries {
         q.stop()
       }
       s.read.parquet(outDir).where(col("event_type") =!= "__sentinel")
+    },
+    // STREAM-STREAM interval join — the one Structured Streaming join
+    // shape the st-family didn't cover (st05/06/07 are stream-STATIC):
+    // two live streams (views, purchases) joined per user under a
+    // 2-hour attribution window, both sides watermarked so the
+    // symmetric hash join's buffered state evicts as event time
+    // advances (state is bounded by watermark + window, not stream
+    // length — the property that makes this runnable forever). Inner
+    // join + time constraint means every emitted match is final (no
+    // retraction), so the union over micro-batches provably equals the
+    // batch interval join the oracle runs. The time-ordered staged
+    // halves keep every row ahead of the min-of-sources watermark:
+    // nothing is late, so completeness is exact, not best-effort.
+    "st08_stream_stream_join" -> { (s, d) =>
+      import java.nio.file.Files
+      val schema = t(s, d, "events").schema
+      val staged = stagedStreamBatches(s, d)
+      val inDir = Files.createTempDirectory("st08_in")
+      val outDir = Files.createTempDirectory("st08_out").toString
+      val ckpt = Files.createTempDirectory("st08_ckpt").toString
+      copyBatch(staged.resolve("b1.parquet"), inDir, "b1.parquet", 0L)
+      copyBatch(staged.resolve("b2.parquet"), inDir, "b2.parquet", 30000L)
+      withShufflePartitions(s, 8) {
+        // two independent sources over the same staged files, each
+        // filtered to its event type (each readStream call is its own
+        // source with its own offsets; the global watermark is the MIN
+        // across both, so neither side can evict state the other still
+        // needs)
+        def src(tpe: String, idAs: String, tsAs: String) =
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .where(col("event_type") === tpe)
+            .select(col("user_id"), col("event_id").as(idAs),
+              col("ts").cast("timestamp").as(tsAs))
+            .withWatermark(tsAs, "1 hour")
+        val views = src("view", "view_id", "vts")
+        val purchases = src("purchase", "purchase_id", "pts")
+        val q = views.join(purchases,
+            views("user_id") === purchases("user_id") &&
+              col("pts") >= col("vts") &&
+              col("pts") <= col("vts") + expr("INTERVAL 2 HOURS"))
+          .select(views("user_id"), col("view_id"), col("purchase_id"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.read.parquet(outDir)
     })
 
   /** Streaming DEDUP — the stateful streaming analog of the engine's core
@@ -3116,6 +3165,17 @@ object Queries {
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the batch interval join: the streaming inner join's emitted-match
+    // union must equal it exactly (inner + time constraint = no
+    // retraction, nothing late under the staged time-ordered halves)
+    "st08_stream_stream_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.view_id, p.purchase_id
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |WHERE p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 2 HOUR""".stripMargin,
     "st02_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // batch gaps-and-islands replica of the stateful sessionization: a

@@ -1090,6 +1090,28 @@ class QueriesSpec extends AnyFunSuite {
       (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap === full)
   }
 
+  test("st08 stream-stream join: emitted matches equal the batch interval join, no dups") {
+    val rows = SparkEntry.queries("st08_stream_stream_join")(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exactly-once: a replayed micro-batch or a double-emit would
+    // surface as duplicate (user, view, purchase) triples
+    assert(got.size === rows.length, "duplicate emitted matches")
+    assert(got.nonEmpty)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    def side(tpe: String, idAs: String, tsAs: String) =
+      ev.where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs),
+          col("ts").cast("timestamp").as(tsAs))
+    val v = side("view", "view_id", "vts")
+    val p = side("purchase", "purchase_id", "pts")
+    val batch = v.join(p, v("user_id") === p("user_id") &&
+        col("pts") >= col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 2 HOURS"))
+      .select(v("user_id"), col("view_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+  }
+
   test("t13 KMV degenerate branch: fewer distinct values than k means est == exact") {
     val out = Queries.kmvCardinality(
       spark.read.parquet(s"$sf/documents.parquet"), k = 1 << 20).collect()
