@@ -35,7 +35,8 @@ object PlanAudit {
       "m07_clip_neardup_pairs", "m10_audio_neardup_pairs",
       "d16_decontaminate",
       "d17_decontaminate_bloom", "e07_semantic_dedup",
-      "t12_doc_repetition", "e08_pq_adc_topk").foreach(dump)
+      "t12_doc_repetition", "e08_pq_adc_topk", "t13_cardinality_kmv",
+      "q12_partition_pruned_scan", "q13_dpp_star_join").foreach(dump)
     spark.stop()
   }
 }
