@@ -1937,7 +1937,7 @@ object Queries {
   private def pqModel(s: SparkSession, d: String): (Column, DataFrame) = {
     val codebook = dumpDerived(s, d, "e08_pq_codebook")(
       Similarity.pqTrain(normalizedEmb(s, d), "vec_id", "embedding",
-        m = pqM, subDim = pqSubDim, ks = pqKs))
+        m = pqM, ks = pqKs, subDim = pqSubDim))
     val cbLit = Similarity.pqCodebookLiteral(codebook, pqM, pqKs, pqSubDim)
     val codes = dumpDerived(s, d, "e08_codes")(
       normalizedEmb(s, d).select(col("vec_id").as("id"),

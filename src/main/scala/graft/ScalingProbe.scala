@@ -18,8 +18,13 @@ object ScalingProbe {
     // (';'-separated, e.g. "local-cluster[4,1,6144];local-cluster[1,1,6144]")
     val masters: Seq[(String, Int)] = sys.env.get("SPARK_GRAFT_MASTERS") match {
       case Some(ms) => ms.split(";").toSeq.map { m =>
-        val cores = "\\[(\\d+)[,\\]]".r.findFirstMatchIn(m).map(_.group(1).toInt).getOrElse(1) *
-          (if (m.startsWith("local-cluster")) 1 else 1)
+        // total cores: local[N] = N; local-cluster[W,C,mem] = W*C
+        val nums = "\\d+".r.findAllIn(m).map(_.toInt).toSeq
+        val cores =
+          if (m.startsWith("local-cluster") && nums.length >= 2) nums(0) * nums(1)
+          else nums.headOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"ScalingProbe: cannot infer a core count from master '$m'"))
         (m, cores)
       }
       case None => sys.env.getOrElse("SPARK_GRAFT_CPUS_LIST", "16,4").split(",").toSeq
@@ -101,8 +106,19 @@ object ScalingProbe {
         val lbl = ConnectedComponents.run(edges, cfg.ccMaxIter)
         phase("cc")(lbl.count())
         val idmap = tagged.select(col("image_id"), col("vid"))
-        phase("relabel")(DedupPipeline.clustersFromEdges(idmap, edges, cfg.ccMaxIter)
-          .write.format("noop").mode("overwrite").save())
+        // relabel from the labels already computed — clustersFromEdges
+        // would re-run the whole CC loop and double-count it here
+        phase("relabel") {
+          val labels = lbl.select(col("id").as("vid"), col("component"))
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+          idmap.join(labels, Seq("vid"), "left")
+            .select(col("image_id"),
+              coalesce(col("component"), col("vid")).as("component"))
+            .withColumn("cluster", min(col("image_id")).over(w))
+            .withColumn("cluster_size", count(lit(1)).over(w))
+            .select(col("image_id"), col("cluster"), col("cluster_size"))
+            .write.format("noop").mode("overwrite").save()
+        }
       } else {
         val cache = new graft.operators.CacheHandle()
         DedupPipeline.clusters(SyntheticCorpus.corpus(spark, n, genParts).toDF(), cache = cache)

@@ -250,7 +250,14 @@ object SketchKernels {
     var total = 0.0
     var j = 0
     while (j < m) {
-      val cent = cb.getArray(j * ks + codes.getInt(j))
+      val code = codes.getInt(j)
+      if (code < 0 || code >= ks)
+        // fail fast: in the flat j*ks+code layout an out-of-range code
+        // would silently read ANOTHER subspace's centroid (a geometry
+        // mismatch between the encoded dump and the scorer)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code out of range [0, $ks) in subspace $j")
+      val cent = cb.getArray(j * ks + code)
       var s = 0.0
       var i = 0
       while (i < subDim) {

@@ -512,7 +512,7 @@ object Similarity {
    * encoding, ADC, and ranking from this dump alone.
    */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
-      subDim: Int, ks: Int, iters: Int = 10, trainSampleMod: Int = 1): DataFrame = {
+      ks: Int, subDim: Int, iters: Int = 10, trainSampleMod: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = if (trainSampleMod <= 1) df

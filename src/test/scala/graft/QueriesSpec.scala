@@ -726,7 +726,7 @@ class QueriesSpec extends AnyFunSuite {
     import graft.operators.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val (m, ks, subDim) = (8, 16, 8)
-    val cbDf = Similarity.pqTrain(emb, "vec_id", "embedding", m, subDim, ks)
+    val cbDf = Similarity.pqTrain(emb, "vec_id", "embedding", m, ks, subDim)
     assert(cbDf.count() === (m * ks).toLong)
     val cb: Map[(Int, Int), Array[Double]] = cbDf.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
@@ -788,8 +788,9 @@ class QueriesSpec extends AnyFunSuite {
     val hit = brute.count(p => hits(p) || hits(p.swap))
     // planted near-dups are ~identical vectors: their quantized distance
     // is near the codebook's intrinsic error floor, far below random
-    // neighbors — PQ at m=8/ks=16 must surface them like e04's exact
-    // rerank does
+    // neighbors — the registered PQ8×8 geometry (ks=256) must surface
+    // them like e04's exact rerank does (ks=16 measurably fails this
+    // gate at 5/7 — the pqM docstring and PLANS.md record why)
     assert(hit >= math.ceil(brute.size * 0.9),
       s"e08 pair recall $hit/${brute.size} below 0.9")
     info(s"e08 PQ pair recall vs brute force: $hit/${brute.size}")
