@@ -776,6 +776,16 @@ class QueriesSpec extends AnyFunSuite {
       }
       assert(math.abs(got((q, c)) - total) < 1e-9, s"adc($q,$c)")
     }
+    // geometry-mismatch fail-fast: a code outside [0, ks) must throw, not
+    // silently read another subspace's centroid from the flat layout
+    val boom = intercept[org.apache.spark.SparkException] {
+      emb.limit(1).select(Similarity.pqAdcCol(
+          expr("transform(embedding, x -> cast(x as double))"),
+          typedlit(Array.fill(m)(ks)), cbLit, m, ks, subDim).as("adc"))
+        .collect()
+    }
+    assert(boom.getMessage.contains("pq_adc") ||
+      Option(boom.getCause).exists(_.getMessage.contains("pq_adc")), boom.getMessage)
   }
 
   test("e08 PQ top-k recovers planted near-dup pairs; ranks by quantized distance only") {
