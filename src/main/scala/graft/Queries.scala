@@ -778,26 +778,27 @@ object Queries {
     * exact set and the estimate must equal the exact count). */
   private[graft] val kmvK = 256
   private[graft] def kmvCardinality(docs: DataFrame, k: Int): DataFrame = {
-    // distinct (source, gram) is the one heavyweight exchange — the
-    // AUDIT's exact side. The production side is the sketch alone: the
-    // rank ≤ k window gets a partial WindowGroupLimit (each map
-    // partition keeps ≤ k rows per source BEFORE the exchange), so at
-    // 100 TB the estimator's shuffle carries ≤ k·partitions 40-byte
-    // rows per source while the exact side is what a pipeline pays ONCE
-    // to pick k, then drops.
-    val grams = docs.select(col("source"),
-        explode(when(length(col("text")) >= 8,
-          transform(sequence(lit(1), length(col("text")) - 7),
-            i => col("text").substr(i, lit(8))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
-      .distinct()
-    val hashed = grams.select(col("source"), md5(col("gram")).as("h"))
-    val w = Window.partitionBy(col("source")).orderBy(col("h"))
-    val sketch = hashed.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= k)
+    // The production side is the SKETCH alone: [[graft.functions
+    // .BottomKAgg]] reduces raw gram occurrences — duplicates and all,
+    // no distinct pre-pass, no per-group sort — into one ≤k sorted
+    // distinct buffer per (source, map partition) BEFORE the exchange
+    // (ObjectHashAggregate partial), so at 100 TB the estimator costs
+    // one exchange of k-bounded sketches regardless of corpus size.
+    // The exact-distinct side is the AUDIT's calibration cost — the
+    // heavyweight distinct a pipeline pays once to pick k, then drops.
+    val occurrences = docs.select(col("source"),
+      explode(when(length(col("text")) >= 8,
+        transform(sequence(lit(1), length(col("text")) - 7),
+          i => col("text").substr(i, lit(8))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val sketch = occurrences
+      .select(col("source"), md5(col("gram")).as("h"))
       .groupBy(col("source"))
-      .agg(max(col("h")).as("kth"), count(lit(1)).as("n_in"))
-    val exact = grams.groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+      .agg(graft.functions.BottomKAgg.bottomK(col("h"), k).as("bk"))
+      .select(col("source"), element_at(col("bk"), -1).as("kth"),
+        size(col("bk")).as("n_in"))
+    val exact = occurrences.distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
     // the kth hash's leading 13 hex digits as an exact 52-bit integer in
     // a double (< 2^53, so conv→cast is exact); u = hv/2^52 is the
     // fraction of the hash space covered by the k smallest values

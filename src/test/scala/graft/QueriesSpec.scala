@@ -978,14 +978,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
-  test("t13 KMV: plain-Scala recompute matches; error is 1/sqrt(k)-sized; plan prunes rank") {
+  test("t13 KMV: plain-Scala recompute matches; error is 1/sqrt(k)-sized; agg is k-bounded") {
     val k = Queries.kmvK
     val got = SparkEntry.queries("t13_cardinality_kmv")(spark, sf)
-    // partial WindowGroupLimit: each map partition keeps <= k rows per
-    // source BEFORE the exchange — the property that makes the sketch
-    // side cheap at scale
+    // the sketch side is a partial-combining object aggregate over raw
+    // occurrences (k-bounded buffers before the exchange) — no window,
+    // no per-group sort anywhere in the plan
     val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window ["), plan)
+    assert(plan.contains("partial_bottomkagg") || plan.contains("bottomkagg"), plan)
     val rows = got.collect().map(r =>
       r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(rows.size === 20)
@@ -1121,6 +1123,22 @@ class QueriesSpec extends AnyFunSuite {
       .select(v("user_id"), col("view_id"), col("purchase_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === batch)
+  }
+
+  test("BottomKAgg: any partitioning/order equals sorted-distinct-take-k; merge commutes") {
+    val agg = new graft.functions.BottomKAgg(5)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 200) {
+      val vals = Seq.fill(rnd.nextInt(30))(f"${rnd.nextInt(12)}%02d") // heavy dups
+      val expected = vals.distinct.sorted.take(5)
+      val (p1, p2) = rnd.shuffle(vals).splitAt(
+        if (vals.isEmpty) 0 else rnd.nextInt(vals.length + 1))
+      val b1 = p1.foldLeft(agg.zero)(agg.reduce)
+      val b2 = p2.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(b1, b2).toSeq === expected, s"trial $trial: $vals")
+      assert(agg.merge(b2, b1).toSeq === expected, s"trial $trial commuted")
+    }
+    assert(agg.reduce(agg.zero, null).isEmpty) // null-safe
   }
 
   test("t13 KMV degenerate branch: fewer distinct values than k means est == exact") {
