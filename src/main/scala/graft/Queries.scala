@@ -1398,6 +1398,53 @@ object Queries {
             |  'eval_split', s3_d, s3_t,
             |  'decontaminated', s4_d, s4_t,
             |  'near_dedup', s5_d, s5_t) AS (stage, n_docs, n_tokens)""".stripMargin))
+    },
+    // CORPUS-LEVEL TEMPLATE/BOILERPLATE STRIP — CCNet-style "line dedup"
+    // re-expressed for unstructured text: each document is cut into
+    // NON-overlapping 8-token segments (the "lines"); a segment whose
+    // document frequency reaches 3 is template boilerplate, and every
+    // document is REWRITTEN without its boilerplate segments (the
+    // sub-8-token tail always survives — too short to template-match).
+    // Contrast d13, which reports overlapping-gram duplication stats but
+    // never rewrites. Scale shape: the exploded shuffle carries only
+    // (doc_id, i, xxhash64) longs — text never rides an exploded exchange;
+    // it moves exactly once, in the final doc-keyed join against the
+    // per-doc drop lists (tiny: only boilerplate-hit docs have a row, and
+    // AQE runtime-broadcasts that side), and the rewrite is a per-row
+    // array expression. doc-frequency count and drop-list are two
+    // aggregations over the same segment rows — dumped once per (sfDir,
+    // JVM) like [[deconGrams]], so the 100-TB text scan + explode runs
+    // once, not once per consumer; the reread is three longs per segment.
+    "d19_boilerplate_strip" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val ts = toks(col("text"))
+      val segRows = dumpDerived(s, d, "d19_segments") {
+        val segHashes = when(size(ts) >= 8,
+          transform(sequence(lit(0), (size(ts) / 8).cast("int") - 1),
+            i => xxhash64(array_join(slice(ts, i * 8 + 1, lit(8)), " "))))
+          .otherwise(array().cast("array<long>"))
+        docs.select(col("doc_id"), posexplode(segHashes).as(Seq("i", "gh")))
+      }
+      val boiler = segRows.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= 3).select("gh")
+      val drops = segRows.join(boiler, "gh")
+        .groupBy("doc_id").agg(collect_set(col("i")).as("drops"))
+      val nseg = (size(col("ts")) / 8).cast("int")
+      val keptIdx = when(nseg >= 1,
+        filter(sequence(lit(0), nseg - 1), i => !array_contains(col("drops"), i)))
+        .otherwise(array().cast("array<int>"))
+      val cleanArr = concat(
+        flatten(transform(keptIdx, i => slice(col("ts"), i * 8 + 1, lit(8)))),
+        slice(col("ts"), nseg * 8 + 1, size(col("ts")) - nseg * 8))
+      docs.join(drops, Seq("doc_id"), "left")
+        .select(col("doc_id"), ts.as("ts"),
+          coalesce(col("drops"), array().cast("array<int>")).as("drops"))
+        .select(col("doc_id"),
+          nseg.cast("long").as("n_seg"),
+          size(col("drops")).cast("long").as("n_drop"),
+          size(cleanArr).cast("long").as("clean_n"),
+          array_join(cleanArr, " ").as("clean_text"))
     })
 
   /** Distinct char-13-grams of (doc_id, text) rows, xxhash64'd to 8-byte
@@ -1696,7 +1743,42 @@ object Queries {
          |UNION ALL SELECT 'decontaminated', count(*) FILTER (WHERE s4),
          |  coalesce(sum(n_tokens) FILTER (WHERE s4), 0) FROM r
          |UNION ALL SELECT 'near_dedup', count(*) FILTER (WHERE s4 AND rk = 1),
-         |  coalesce(sum(n_tokens) FILTER (WHERE s4 AND rk = 1), 0) FROM r""".stripMargin)
+         |  coalesce(sum(n_tokens) FILTER (WHERE s4 AND rk = 1), 0) FROM r""".stripMargin,
+    // independent rebuild from exact gram STRINGS (the Spark side groups
+    // on xxhash64 longs — the d13 posture: a divergence would surface as
+    // a hash-gate failure); the rewrite is re-derived with window-free
+    // list ops + an ordered string_agg
+    "d19_boilerplate_strip" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, ts, unnest(generate_series(0, len(ts)//8 - 1)) AS i
+        |  FROM tok WHERE len(ts) >= 8),
+        |g AS (SELECT doc_id, i,
+        |    list_aggregate(ts[i*8+1:i*8+8], 'string_agg', ' ') AS gram FROM seg),
+        |fr AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+        |  WHERE nd >= 3),
+        |dr AS (SELECT doc_id, i FROM g JOIN fr USING (gram)),
+        |keep AS (
+        |  SELECT g.doc_id, g.i, g.gram FROM g
+        |  LEFT JOIN dr ON g.doc_id = dr.doc_id AND g.i = dr.i
+        |  WHERE dr.doc_id IS NULL),
+        |body AS (
+        |  SELECT doc_id, string_agg(gram, ' ' ORDER BY i) AS kept,
+        |    count(*)::BIGINT AS n_kept
+        |  FROM keep GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, len(ts)//8 AS n_seg, len(ts) - (len(ts)//8)*8 AS tail_n,
+        |    array_to_string(ts[(len(ts)//8)*8+1:], ' ') AS tail
+        |  FROM tok)
+        |SELECT b.doc_id,
+        |  b.n_seg::BIGINT AS n_seg,
+        |  (b.n_seg - coalesce(o.n_kept, 0))::BIGINT AS n_drop,
+        |  (coalesce(o.n_kept, 0)*8 + b.tail_n)::BIGINT AS clean_n,
+        |  concat_ws(' ', nullif(o.kept, ''), nullif(b.tail, '')) AS clean_text
+        |FROM base b LEFT JOIN body o USING (doc_id)""".stripMargin)
 
   /** d17's output is provably d16's (bloom = prefilter only: no false
     * negatives; false positives die in the exact join) — same oracle. */

@@ -215,6 +215,41 @@ class QueriesSpec extends AnyFunSuite {
     info(s"d13 duplicated-span grams: $dup of ${got.values.map(_._1).sum}")
   }
 
+  test("d19 boilerplate strip equals a local segment-df rewrite, byte for byte") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // local reference: non-overlapping 8-token segments, df >= 3 dropped
+    val segs: Map[Long, Seq[String]] = docs.map { case (id, t) =>
+      val ts = t.split(" ").filter(_.nonEmpty)
+      id -> ts.grouped(8).filter(_.length == 8).map(_.mkString(" ")).toSeq
+    }
+    val docFreq = segs.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    val expected = docs.map { case (id, t) =>
+      val ts = t.split(" ").filter(_.nonEmpty)
+      val nseg = ts.length / 8
+      val kept = segs(id).zipWithIndex.collect { case (g, _) if docFreq(g) < 3 => g }
+      val tail = ts.drop(nseg * 8)
+      val clean = (kept ++ (if (tail.nonEmpty) Seq(tail.mkString(" ")) else Nil)).mkString(" ")
+      id -> ((nseg.toLong, (nseg - kept.size).toLong,
+        (kept.size * 8 + tail.length).toLong, clean))
+    }
+    val got = SparkEntry.queries("d19_boilerplate_strip")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got.keySet == docs.keySet, "one row per document")
+    docs.keys.foreach { id =>
+      assert(got(id) == expected(id), s"doc $id: got ${got(id)}, expected ${expected(id)}")
+    }
+    val dropped = got.values.map(_._2).sum
+    assert(dropped > 0, "the df>=3 template threshold must bite at this sf")
+    assert(got.values.exists(_._2 == 0), "most docs must survive untouched")
+    info(s"d19 boilerplate segments dropped: $dropped across " +
+      s"${got.values.count(_._2 > 0)} of ${docs.size} docs")
+  }
+
   test("d14 containment matches the kernel recompute and catches non-Jaccard subset dups") {
     val rows = SparkEntry.queries("d14_containment_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
