@@ -1445,6 +1445,36 @@ object Queries {
           size(col("drops")).cast("long").as("n_drop"),
           size(cleanArr).cast("long").as("clean_n"),
           array_join(cleanArr, " ").as("clean_text"))
+    },
+    // DEDUP-PRESSURE PROVENANCE MATRIX — the curation report a shard
+    // owner reads before deciding what to drop: every ≥0.5-Jaccard
+    // confirmed near-dup pair (the d04 edge set, same dumps, same
+    // kernel) attributed to its UNORDERED source pair, with the pair
+    // count and the number of distinct documents involved. A hot
+    // (sa, sa) diagonal cell means a self-duplicating shard (re-crawl /
+    // template farm); a hot off-diagonal cell means two shards covering
+    // the same underlying content — drop one, not both. Scale shape:
+    // the confirm output is already tiny relative to the corpus (it IS
+    // the duplicate mass), so both aggregations and the final join run
+    // on edge-sized data; sources ride along from the sketch dump — no
+    // extra corpus scan, no new shuffle wider than the edge set.
+    "d20_dedup_pressure" -> { (s, d) =>
+      val sk = docSketches(s, d)
+      val p = docCandidates(s, d)
+        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a"),
+          col("source").as("src_a")), "a")
+        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b"),
+          col("source").as("src_b")), "b")
+        .where(GraftFunctions.jaccard(col("mins_a"), col("mins_b"), docSketch) >= 0.5)
+        .select(least(col("src_a"), col("src_b")).as("sa"),
+          greatest(col("src_a"), col("src_b")).as("sb"),
+          col("a"), col("b"))
+      val np = p.groupBy("sa", "sb").agg(count(lit(1)).as("n_pairs"))
+      val nd = p.select(col("sa"), col("sb"),
+          explode(array(col("a"), col("b"))).as("docu"))
+        .groupBy("sa", "sb").agg(countDistinct(col("docu")).as("n_docs"))
+      np.join(nd, Seq("sa", "sb"))
+        .select(col("sa"), col("sb"), col("n_pairs"), col("n_docs"))
     })
 
   /** Distinct char-13-grams of (doc_id, text) rows, xxhash64'd to 8-byte
@@ -1778,7 +1808,24 @@ object Queries {
         |  (b.n_seg - coalesce(o.n_kept, 0))::BIGINT AS n_drop,
         |  (coalesce(o.n_kept, 0)*8 + b.tail_n)::BIGINT AS clean_n,
         |  concat_ws(' ', nullif(o.kept, ''), nullif(b.tail, '')) AS clean_text
-        |FROM base b LEFT JOIN body o USING (doc_id)""".stripMargin)
+        |FROM base b LEFT JOIN body o USING (doc_id)""".stripMargin,
+    // provenance attribution replicated over the same band + sketch
+    // dumps d04 uses; sources come from the documents table itself
+    "d20_dedup_pressure" ->
+      s"""WITH $candSql,
+         |$jacSql,
+         |src AS (SELECT doc_id, source FROM documents),
+         |p AS (
+         |  SELECT least(x.source, y.source) AS sa,
+         |    greatest(x.source, y.source) AS sb, j.a, j.b
+         |  FROM jac j
+         |  JOIN src x ON x.doc_id = j.a
+         |  JOIN src y ON y.doc_id = j.b
+         |  WHERE j.jac_est >= 0.5),
+         |np AS (SELECT sa, sb, count(*)::BIGINT AS n_pairs FROM p GROUP BY sa, sb),
+         |nd AS (SELECT sa, sb, count(DISTINCT docu)::BIGINT AS n_docs
+         |  FROM (SELECT sa, sb, unnest([a, b]) AS docu FROM p) GROUP BY sa, sb)
+         |SELECT sa, sb, n_pairs, n_docs FROM np JOIN nd USING (sa, sb)""".stripMargin)
 
   /** d17's output is provably d16's (bloom = prefilter only: no false
     * negatives; false positives die in the exact join) — same oracle. */

@@ -250,6 +250,33 @@ class QueriesSpec extends AnyFunSuite {
       s"${got.values.count(_._2 > 0)} of ${docs.size} docs")
   }
 
+  test("d20 dedup-pressure matrix is exactly the d04 edge set attributed to source pairs") {
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = SparkEntry.queries("d04_minhash_jaccard_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = edges
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), (a, b))
+      }
+      .groupBy(_._1)
+      .map { case (k, xs) =>
+        k -> ((xs.length.toLong,
+          xs.flatMap { case (_, (a, b)) => Seq(a, b) }.distinct.length.toLong))
+      }
+    val got = SparkEntry.queries("d20_dedup_pressure")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, s"matrix mismatch: got $got expected $expected")
+    assert(got.nonEmpty, "the injected near-dups must produce at least one cell")
+    val cross = got.keys.count { case (sa, sb) => sa != sb }
+    info(s"d20 cells: ${got.size} (${cross} cross-source), " +
+      s"pairs ${got.values.map(_._1).sum}")
+  }
+
   test("d14 containment matches the kernel recompute and catches non-Jaccard subset dups") {
     val rows = SparkEntry.queries("d14_containment_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
