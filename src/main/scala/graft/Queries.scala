@@ -1475,6 +1475,48 @@ object Queries {
         .groupBy("sa", "sb").agg(countDistinct(col("docu")).as("n_docs"))
       np.join(nd, Seq("sa", "sb"))
         .select(col("sa"), col("sb"), col("n_pairs"), col("n_docs"))
+    },
+    // CLUSTER-DILUTION AUDIT — the pre-drop check on the CLUSTERING step
+    // itself, completing the audit family (d15 audits the sketch
+    // estimator, e06 the ANN index, t13 the cardinality sketch; nothing
+    // audited the transitive closure). Connected components over
+    // pairwise-confirmed edges is known to over-merge through chains
+    // (A~B~C with A≁C): before a tier drops all-but-one doc per cluster
+    // it reads exactly this report — per multi-member cluster, the edge
+    // density (1.0 = clique: every member pairwise-confirmed; → 2/n =
+    // bare chain) and the weakest confirmed link (min edge Jaccard — how
+    // thin the thread holding the cluster together is). Scale shape: the
+    // confirmed edge set is duplicate-mass-sized; the label join is
+    // edge-keyed (AQE broadcasts the edge side), member counts are one
+    // agg over the label table, and both final groupBys key on the
+    // cluster id — nothing here rivals the dedup that produced the input.
+    // Note rounding cannot desync this from d06's unrounded ≥ 0.5 edge
+    // filter: jac_est is k/n with n ≤ 128 (combined denominator), so
+    // |k/n − 0.5| ≥ 1/256 whenever it isn't exactly 0.5 — round-to-6
+    // never flips the threshold.
+    "d21_cluster_dilution" -> { (s, d) =>
+      val labels = docClusterLabels(s, d)
+      val sk = docSketches(s, d)
+      val edges = docCandidates(s, d)
+        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
+        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
+        .withColumn("jac_est",
+          round(GraftFunctions.jaccard(col("mins_a"), col("mins_b"), docSketch), 6))
+        .where(col("jac_est") >= 0.5)
+        .select(col("a"), col("jac_est"))
+      val mem = labels.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+        .where(col("n_members") >= 2)
+      // both edge endpoints share a cluster by construction (the closure
+      // was built from this edge set) — labeling by `a` alone suffices
+      val ec = edges.join(labels.withColumnRenamed("doc_id", "a"), "a")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_edges"), min(col("jac_est")).as("min_jac"))
+      mem.join(ec, "cluster")
+        .select(col("cluster"), col("n_members"), col("n_edges"),
+          round(col("n_edges") * lit(2.0) /
+            (col("n_members") * (col("n_members") - lit(1))), 6).as("density"),
+          col("min_jac"))
     })
 
   /** Distinct char-13-grams of (doc_id, text) rows, xxhash64'd to 8-byte
@@ -1825,7 +1867,34 @@ object Queries {
          |np AS (SELECT sa, sb, count(*)::BIGINT AS n_pairs FROM p GROUP BY sa, sb),
          |nd AS (SELECT sa, sb, count(DISTINCT docu)::BIGINT AS n_docs
          |  FROM (SELECT sa, sb, unnest([a, b]) AS docu FROM p) GROUP BY sa, sb)
-         |SELECT sa, sb, n_pairs, n_docs FROM np JOIN nd USING (sa, sb)""".stripMargin)
+         |SELECT sa, sb, n_pairs, n_docs FROM np JOIN nd USING (sa, sb)""".stripMargin,
+    // the d06 recursive closure extended with the dilution statistics:
+    // per-cluster member count, confirmed-edge count, edge density
+    // (2E / n(n−1)) and the weakest confirmed link
+    "d21_cluster_dilution" ->
+      s"""WITH RECURSIVE $candSql,
+         |$jacSql,
+         |edges AS (SELECT a, b, jac_est FROM jac WHERE jac_est >= 0.5),
+         |und AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |mem AS (
+         |  SELECT cluster, count(*)::BIGINT AS n_members FROM lab GROUP BY cluster
+         |  HAVING count(*) >= 2),
+         |ec AS (
+         |  SELECT la.cluster, count(*)::BIGINT AS n_edges,
+         |    min(e.jac_est) AS min_jac
+         |  FROM edges e JOIN lab la ON la.doc_id = e.a GROUP BY la.cluster)
+         |SELECT m.cluster, m.n_members, ec.n_edges,
+         |  round(ec.n_edges * 2.0 / (m.n_members * (m.n_members - 1)), 6) AS density,
+         |  ec.min_jac
+         |FROM mem m JOIN ec USING (cluster)""".stripMargin)
 
   /** d17's output is provably d16's (bloom = prefilter only: no false
     * negatives; false positives die in the exact join) — same oracle. */

@@ -277,6 +277,36 @@ class QueriesSpec extends AnyFunSuite {
       s"pairs ${got.values.map(_._1).sum}")
   }
 
+  test("d21 dilution audit is exactly the d04 edge set rolled up over the d06 clusters") {
+    val edges = SparkEntry.queries("d04_minhash_jaccard_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val clusterOf = SparkEntry.queries("d06_doc_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = clusterOf.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+    val byCluster = edges.groupBy { case (a, b, _) =>
+      val c = clusterOf(a)
+      assert(c == clusterOf(b), s"edge ($a,$b) spans clusters — closure broken")
+      c
+    }
+    val expected = byCluster.map { case (c, es) =>
+      val n = members(c)
+      c -> ((n, es.length.toLong,
+        BigDecimal(es.length * 2.0 / (n * (n - 1))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        es.map(_._3).min))
+    }
+    val got = SparkEntry.queries("d21_cluster_dilution")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == expected, s"dilution mismatch: got $got expected $expected")
+    assert(got.nonEmpty, "injected near-dups must produce at least one multi-member cluster")
+    // every cluster with >= 2 members appears: CC clusters are edge-built
+    assert(got.keySet == members.filter(_._2 >= 2).keySet)
+    val chains = got.values.count(_._3 < 1.0)
+    info(s"d21 clusters: ${got.size}, non-clique (diluted): $chains, " +
+      s"weakest link ${got.values.map(_._4).min}")
+  }
+
   test("d14 containment matches the kernel recompute and catches non-Jaccard subset dups") {
     val rows = SparkEntry.queries("d14_containment_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
