@@ -1517,6 +1517,27 @@ object Queries {
           round(col("n_edges") * lit(2.0) /
             (col("n_members") * (col("n_members") - lit(1))), 6).as("density"),
           col("min_jac"))
+    },
+    // LEAKAGE-FREE TRAIN/VAL/TEST SPLIT — the curation step AFTER dedup
+    // that per-document splitting gets wrong: a val doc whose near-twin
+    // sits in train measures memorization, not generalization. The split
+    // key is the CLUSTER, not the doc — every member of a near-dup
+    // cluster lands in the same split by construction, so no confirmed
+    // near-dup pair can straddle the train/eval boundary (the same
+    // reasoning as d16's decontamination, applied to the corpus' own
+    // splits). The assignment rule (cluster % 10 → 0=val, 1=test, else
+    // train; cluster ids are non-negative min-doc_ids, so % matches
+    // DuckDB's) is the deterministic stand-in for production
+    // hash(cluster)-mod-buckets — same shape, SQL-replicable. Scale
+    // shape: a per-row CASE over the d06 label table — zero new
+    // shuffles, zero new scans; the oracle re-derives the ENTIRE chain
+    // (closure included) independently.
+    "d22_cluster_safe_split" -> { (s, d) =>
+      docClusterLabels(s, d)
+        .withColumn("split",
+          when(pmod(col("cluster"), lit(10)) === 0, lit("val"))
+            .when(pmod(col("cluster"), lit(10)) === 1, lit("test"))
+            .otherwise(lit("train")))
     })
 
   /** Distinct char-13-grams of (doc_id, text) rows, xxhash64'd to 8-byte
@@ -1894,7 +1915,28 @@ object Queries {
          |SELECT m.cluster, m.n_members, ec.n_edges,
          |  round(ec.n_edges * 2.0 / (m.n_members * (m.n_members - 1)), 6) AS density,
          |  ec.min_jac
-         |FROM mem m JOIN ec USING (cluster)""".stripMargin)
+         |FROM mem m JOIN ec USING (cluster)""".stripMargin,
+    // the d06 recursive closure extended with the cluster-keyed split
+    // rule — the oracle re-derives closure AND assignment, so a single
+    // doc splitting away from its cluster fails the hash gate
+    "d22_cluster_safe_split" ->
+      s"""WITH RECURSIVE $candSql,
+         |$jacSql,
+         |edges AS (SELECT a, b FROM jac WHERE jac_est >= 0.5),
+         |und AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, cluster,
+         |  CASE WHEN cluster % 10 = 0 THEN 'val'
+         |       WHEN cluster % 10 = 1 THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM lab""".stripMargin)
 
   /** d17's output is provably d16's (bloom = prefilter only: no false
     * negatives; false positives die in the exact join) — same oracle. */
@@ -2411,12 +2453,15 @@ object Queries {
     * corpus (rows are ~20-30 KB vs ~3 KB). */
   def mediaRows(dir: String): Long = math.max(200L, corpusRows(dir) / 5)
 
-  private val multimodal: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // the flagship pipeline as a registered operator (north_rule). The
-    // derived edge set + id map are dumped so the oracle can replicate the
-    // clustering tail (connected components + representative relabel)
-    // independently via a recursive transitive closure.
-    "m01_corpus_dedup_clusters" -> { (s, d) =>
+  /** (image_id, cluster, cluster_size) — the flagship pipeline's cluster
+    * labels, dumped once per (sfDir, JVM): m01 returns the table verbatim
+    * and m11 keys its keep rule off it (the docClusterLabels sharing
+    * pattern — the edge build + CC loop run once, not per consumer). The
+    * edge set + id map are ALSO dumped so the oracle can replicate the
+    * clustering tail (connected components + representative relabel)
+    * independently via a recursive transitive closure. */
+  private def m01Clusters(s: SparkSession, d: String): DataFrame =
+    dumpDerived(s, d, "m01_clusters") {
       val corpus = SyntheticCorpus.corpus(s, corpusRows(d)).toDF()
       val cache = new graft.operators.CacheHandle()
       val (idmap0, edges0) = DedupPipeline.edges(corpus, cache = cache)
@@ -2424,6 +2469,40 @@ object Queries {
       val edges = dumpDerived(s, d, "m01_edges")(edges0)
       cache.release()
       DedupPipeline.clustersFromEdges(idmap, edges)
+    }
+
+  private val multimodal: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the flagship pipeline as a registered operator (north_rule; body
+    // shared with m11 via [[m01Clusters]]).
+    "m01_corpus_dedup_clusters" -> { (s, d) => m01Clusters(s, d) },
+    // per-cluster CANONICAL KEEP on the image modality — d11's rule moved
+    // onto the flagship's clusters, with the criterion an image tier
+    // actually applies: keep the least-degraded copy (raw ppm, then
+    // lossless png, then re-quantized ppmq, then lossy jpg), break ties
+    // by the larger payload, then lowest image_id (total order — the
+    // window pick is deterministic). Scale shape: the image BYTES never
+    // move — the keep rule reads a 3-column metadata dump (id, fmt,
+    // payload length) joined to the label table, then ONE window over
+    // the cluster key; the canonical-drop itself is then an id-list
+    // semi-join against the source table, never a byte shuffle.
+    "m11_image_canonical_keep" -> { (s, d) =>
+      val meta = dumpDerived(s, d, "m11_meta")(
+        SyntheticCorpus.corpus(s, corpusRows(d)).toDF()
+          .select(col("image_id"), col("fmt"),
+            length(col("bytes")).cast("long").as("n_bytes")))
+      val fmtRank = when(col("fmt") === "ppm", 0)
+        .when(col("fmt") === "png", 1)
+        .when(col("fmt") === "ppmq", 2)
+        .otherwise(3)
+      val pick = Window.partitionBy(col("cluster"))
+        .orderBy(col("fmt_rank"), col("n_bytes").desc, col("image_id"))
+      m01Clusters(s, d).join(meta, "image_id")
+        .withColumn("fmt_rank", fmtRank)
+        .withColumn("rk", row_number().over(pick))
+        .where(col("rk") === 1)
+        .select(col("cluster"), col("image_id").as("keep_id"),
+          col("cluster_size").as("n_members"),
+          col("fmt").as("keep_fmt"), col("n_bytes").as("keep_bytes"))
     },
     // binary-column decode + feature extraction (multimodal plumbing;
     // decode for non-PPM formats is the clearly-marked stub fallback)
@@ -2875,7 +2954,40 @@ object Queries {
          |  SELECT component, min(image_id) AS cluster, count(*) AS cluster_size
          |  FROM lbl GROUP BY component)
          |SELECT l.image_id, nm.cluster, nm.cluster_size
-         |FROM lbl l JOIN named nm USING (component)""".stripMargin)
+         |FROM lbl l JOIN named nm USING (component)""".stripMargin,
+    // the m01 closure extended with the least-degraded keep rule: fmt
+    // preference CASE, payload-length tie-break, window argmin — the
+    // oracle re-derives closure AND pick, so a wrong fmt rank or an
+    // unstable tie-break fails the hash gate
+    "m11_image_canonical_keep" ->
+      s"""WITH RECURSIVE
+         |ed AS (SELECT src, dst FROM read_parquet(${oraclePath("m01_edges")}) WHERE src <> dst),
+         |und AS (SELECT src AS u, dst AS v FROM ed UNION SELECT dst, src FROM ed),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |nodes AS (SELECT image_id, vid FROM read_parquet(${oraclePath("m01_idmap")})),
+         |lbl AS (
+         |  SELECT n.image_id, coalesce(c.component, n.vid) AS component
+         |  FROM (SELECT image_id, vid FROM nodes) n
+         |  LEFT JOIN (SELECT id, cluster AS component FROM comp) c ON c.id = n.vid),
+         |named AS (
+         |  SELECT component, min(image_id) AS cluster, count(*) AS cluster_size
+         |  FROM lbl GROUP BY component),
+         |meta AS (SELECT image_id, fmt, n_bytes FROM read_parquet(${oraclePath("m11_meta")})),
+         |ranked AS (
+         |  SELECT nm.cluster, l.image_id, nm.cluster_size, m.fmt, m.n_bytes,
+         |    row_number() OVER (PARTITION BY nm.cluster ORDER BY
+         |      CASE m.fmt WHEN 'ppm' THEN 0 WHEN 'png' THEN 1
+         |                 WHEN 'ppmq' THEN 2 ELSE 3 END,
+         |      m.n_bytes DESC, l.image_id) AS rk
+         |  FROM lbl l JOIN named nm USING (component)
+         |  JOIN meta m USING (image_id))
+         |SELECT cluster, image_id AS keep_id, cluster_size AS n_members,
+         |  fmt AS keep_fmt, n_bytes AS keep_bytes
+         |FROM ranked WHERE rk = 1""".stripMargin)
 
   // ================================================================ st: structured streaming
   //

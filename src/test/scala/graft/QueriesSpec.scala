@@ -307,6 +307,67 @@ class QueriesSpec extends AnyFunSuite {
       s"weakest link ${got.values.map(_._4).min}")
   }
 
+  test("d22 split is cluster-keyed: rule matches, no confirmed edge straddles a boundary") {
+    val rows = SparkEntry.queries("d22_cluster_safe_split")(spark, sf).collect()
+    val clusterOf = SparkEntry.queries("d06_doc_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == clusterOf.size, "one split row per document")
+    val splitOf = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    rows.foreach { r =>
+      val (doc, cluster, split) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(cluster == clusterOf(doc), s"doc $doc labeled off the d06 closure")
+      val expected = (cluster % 10) match {
+        case 0 => "val"; case 1 => "test"; case _ => "train"
+      }
+      assert(split == expected, s"doc $doc: rule mismatch")
+    }
+    // the property the query exists for: confirmed near-dup pairs never
+    // straddle a split boundary (per-document splitting violates this on
+    // every injected dup whose ids hash apart)
+    val edges = SparkEntry.queries("d04_minhash_jaccard_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"near-dup pair ($a,$b) leaks across splits")
+    }
+    val perDocLeaks = edges.count { case (a, b) => a % 10 != b % 10 }
+    info(s"d22 splits: ${rows.groupBy(_.getString(2)).map { case (k, v) => s"$k=${v.length}" }.mkString(", ")}; " +
+      s"edges checked ${edges.length}; naive per-doc split would leak $perDocLeaks of them")
+  }
+
+  test("m11 keeps exactly one least-degraded image per flagship cluster") {
+    val sfDir = sf
+    val labels = SparkEntry.queries("m01_corpus_dedup_clusters")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val meta = graft.sources.SyntheticCorpus.corpus(spark, Queries.corpusRows(sfDir)).toDF()
+      .select(col("image_id"), col("fmt"), length(col("bytes")).cast("long").as("n_bytes"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    def fmtRank(f: String): Int = f match {
+      case "ppm" => 0; case "png" => 1; case "ppmq" => 2; case _ => 3
+    }
+    val expected = labels.groupBy(_._2).map { case (cluster, members) =>
+      val pick = members.map(_._1).minBy { id =>
+        val (f, nb) = meta(id); (fmtRank(f), -nb, id)
+      }
+      val (f, nb) = meta(pick)
+      cluster -> ((pick, members.head._3, f, nb))
+    }
+    val got = SparkEntry.queries("m11_image_canonical_keep")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(got == expected, "keep table mismatch vs local recompute")
+    // the rule bites: at least one multi-member cluster keeps a
+    // less-degraded copy over a lossy/requantized member
+    val multi = labels.groupBy(_._2).filter(_._2.length >= 2)
+    assert(multi.nonEmpty)
+    val improved = multi.keys.count { c =>
+      val kinds = multi(c).map(id => fmtRank(meta(id._1)._1)).distinct
+      kinds.length > 1
+    }
+    info(s"m11: ${got.size} clusters, ${multi.size} multi-member, " +
+      s"$improved with mixed degradation levels")
+  }
+
   test("d14 containment matches the kernel recompute and catches non-Jaccard subset dups") {
     val rows = SparkEntry.queries("d14_containment_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
