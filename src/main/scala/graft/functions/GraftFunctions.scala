@@ -246,7 +246,7 @@ object GraftFunctions {
    * built-ins only (shifts/masks), no UDF.
    */
   def fingerprintBandsHamming(fp: Column): Column =
-    fingerprintCombos(fp, pick = 3)
+    Bridge.column(expressions.FingerprintJointKeys(Bridge.expression(fp), scheme = 1, pick = 3))
 
   /**
    * The radius-2 variant: same 6 blocks, keyed on every C(6,4) = 15
@@ -266,7 +266,16 @@ object GraftFunctions {
    * sources and score with `ph_ham <= 3` corroboration at confirm.
    */
   def fingerprintBandsHamming2(fp: Column): Column =
-    fingerprintCombos(fp, pick = 4)
+    Bridge.column(expressions.FingerprintJointKeys(Bridge.expression(fp), scheme = 1, pick = 4))
+
+  /** The fold-of-Columns form of the Manku combos — kept as the
+    * differential-test oracle for [[expressions.FingerprintJointKeys]]
+    * scheme 1 (ExpressionsSpec asserts bit-equality; the kernel exists
+    * because inlining C(n,pick) fold trees into the bands stage blew
+    * Janino's 64 KB method limit and dropped the stage out of
+    * whole-stage codegen). */
+  private[graft] def fingerprintCombosFoldForm(fp: Column, pick: Int): Column =
+    fingerprintCombos(fp, pick)
 
   private def fingerprintCombos(fp: Column, pick: Int): Column = {
     val widths = Seq(11, 11, 11, 11, 10, 10)
@@ -300,6 +309,12 @@ object GraftFunctions {
    */
   def fingerprintJointBands(fp: Column, pick: Int): Column = {
     require(pick >= 1 && pick <= 7, "pick must be in [1, 7]")
+    Bridge.column(expressions.FingerprintJointKeys(Bridge.expression(fp), scheme = 0, pick = pick))
+  }
+
+  /** Fold-of-Columns differential oracle for scheme 0 (see
+    * [[fingerprintCombosFoldForm]]). */
+  private[graft] def fingerprintJointBandsFoldForm(fp: Column, pick: Int): Column = {
     def block(i: Int): Column =
       shiftrightunsigned(fp, i * 8).bitwiseAND(lit(0xffL))
     val combos = (0 until 8).combinations(pick).toSeq

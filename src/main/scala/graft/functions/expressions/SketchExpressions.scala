@@ -303,6 +303,56 @@ object SketchKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Block-combination schemes for [[jointBandKeys]]: block bit-offsets,
+    * per-block masks, and the per-slot multiplier. Scheme 0 = eight 8-bit
+    * blocks (SimHash joint keys, base 256); scheme 1 = the Manku six-block
+    * 11/11/11/11/10/10 split (phash/audio keys, base 2048). */
+  private final val jointSchemes: Array[(Array[Int], Array[Long], Long)] = Array(
+    ((0 until 8).map(_ * 8).toArray, Array.fill(8)(0xffL), 256L),
+    (Array(0, 11, 22, 33, 44, 54),
+      Array(2047L, 2047L, 2047L, 2047L, 1023L, 1023L), 2048L))
+
+  /** combos(scheme)(pick) = all C(nBlocks, pick) index combinations, in
+    * `Seq.combinations` order (the order is part of the key tag, so it is
+    * pinned here and differentially tested against the fold-built
+    * Column form in GraftFunctions). */
+  private final val jointCombos: Array[Array[Array[Array[Int]]]] =
+    jointSchemes.map { case (offs, _, _) =>
+      (0 to offs.length).map { pick =>
+        offs.indices.combinations(pick).map(_.toArray).toArray
+      }.toArray
+    }
+
+  /**
+   * All C(nBlocks, pick) joint band keys of a 64-bit fingerprint in one
+   * static call: key = comboTag folded with the selected block values
+   * (`acc * base + block`), identical to the fold-of-Columns form in
+   * [[graft.functions.GraftFunctions]] — which built C(8,5) = 56 inlined
+   * expression trees, DUPLICATED into the bands stage's filter and
+   * project, overflowing Janino's 64 KB method limit and dropping the
+   * whole stage out of codegen (observed on d05/m07/m10's sketch stage).
+   * This kernel codegens as one call site.
+   */
+  def jointBandKeys(fp: Long, scheme: Int, pick: Int): ArrayData = {
+    val (offs, masks, base) = jointSchemes(scheme)
+    val combos = jointCombos(scheme)(pick)
+    val out = new Array[Long](combos.length)
+    var t = 0
+    while (t < combos.length) {
+      val c = combos(t)
+      var acc = t.toLong
+      var j = 0
+      while (j < c.length) {
+        val i = c(j)
+        acc = acc * base + ((fp >>> offs(i)) & masks(i))
+        j += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `dot_product(a, b)` over ARRAY<DOUBLE> — no intermediate array (the
@@ -512,6 +562,25 @@ case class PqAdc(first: Expression, second: Expression, third: Expression,
       s"graft.functions.expressions.SketchKernels.pqAdc($v, $codes, $cb, $m, $ks, $subDim)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** `joint_band_keys(fp)` — all C(nBlocks, pick) joint Hamming band keys,
+  * codegen'd as one static call (see [[SketchKernels.jointBandKeys]] for
+  * why the fold-of-Columns form broke whole-stage codegen). `scheme`:
+  * 0 = eight 8-bit blocks, 1 = Manku 11/11/11/11/10/10. */
+case class FingerprintJointKeys(child: Expression, scheme: Int, pick: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(scheme == 0 || scheme == 1, s"joint_band_keys: unknown scheme $scheme")
+  require(pick >= 1 && pick <= (if (scheme == 0) 8 else 6),
+    s"joint_band_keys: pick=$pick out of range for scheme $scheme")
+  override def inputTypes: Seq[org.apache.spark.sql.graft.Bridge.AbstractType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(fp: Any): Any =
+    SketchKernels.jointBandKeys(fp.asInstanceOf[Long], scheme, pick)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, fp =>
+      s"graft.functions.expressions.SketchKernels.jointBandKeys($fp, $scheme, $pick)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class CaptionLcs(left: Expression, right: Expression)

@@ -173,6 +173,45 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(farHits <= 5, s"random 64-bit pairs sharing a joint key: $farHits/500")
   }
 
+  test("kernel joint band keys == fold-of-Columns oracles, both schemes, all picks") {
+    import spark.implicits._
+    val r = new Random(7)
+    val fps = (0 until 300).map(_ => r.nextLong()) ++
+      Seq(0L, -1L, Long.MinValue, Long.MaxValue, 0x0123456789abcdefL)
+    val df = fps.toDF("fp")
+    for (pick <- 1 to 7) { // scheme 0: eight 8-bit blocks
+      val out = df.select(
+        GraftFunctions.fingerprintJointBands($"fp", pick).as("k"),
+        GraftFunctions.fingerprintJointBandsFoldForm($"fp", pick).as("o")).collect()
+      out.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1),
+        s"scheme 0 pick=$pick mismatch"))
+    }
+    for (pick <- Seq(3, 4)) { // scheme 1: Manku 11/11/11/11/10/10
+      val kernel = if (pick == 3) GraftFunctions.fingerprintBandsHamming($"fp")
+                   else GraftFunctions.fingerprintBandsHamming2($"fp")
+      val out = df.select(kernel.as("k"),
+        GraftFunctions.fingerprintCombosFoldForm($"fp", pick).as("o")).collect()
+      out.foreach(row => assert(row.getSeq[Long](0) === row.getSeq[Long](1),
+        s"scheme 1 pick=$pick mismatch"))
+    }
+  }
+
+  test("joint-key bands stage stays inside whole-stage codegen (the 64 KB regression)") {
+    import spark.implicits._
+    // the d05 shape that overflowed Janino's method limit with the
+    // fold-built 56-expression array duplicated into filter + project
+    val tmp = java.nio.file.Files.createTempDirectory("jointkeys").toString
+    (0 until 50).map(i => (i.toLong, new Random(i).nextLong()))
+      .toDF("id", "simhash").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+      .select($"id", GraftFunctions.fingerprintJointBands($"simhash", 5).as("bk"))
+      .where(size($"bk") > 0)
+    val hasWsc = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasWsc, df.queryExecution.executedPlan.toString)
+    assert(df.collect().forall(_.getSeq[Long](1).length == 56))
+  }
+
   test("expressions stay inside whole-stage codegen (no eval fallback)") {
     import spark.implicits._
     // materialize to parquet first: a purely-local relation would be
