@@ -1538,6 +1538,50 @@ object Queries {
           when(pmod(col("cluster"), lit(10)) === 0, lit("val"))
             .when(pmod(col("cluster"), lit(10)) === 1, lit("test"))
             .otherwise(lit("train")))
+    },
+    // SPLIT STABILITY UNDER CORPUS GROWTH — the failure mode d22's rule
+    // has over TIME: cluster ids are min-member doc_ids, so when the
+    // corpus grows, a new doc can BRIDGE two previously-separate clusters
+    // (their members inherit the smaller min → different split bucket) or
+    // push an LSH bucket past the heat cap (losing a candidate edge →
+    // a cluster splits). Either way a doc that was in val/test can
+    // silently move to train — eval contamination across refreshes. This
+    // audit re-runs the ENTIRE d06 chain (band → cap → confirm → CC →
+    // split) on the first-80%% prefix of the corpus (cutoff = 4n/5 over
+    // doc_id — the deterministic stand-in for "the previous snapshot")
+    // and reports, per prefix doc, the cluster + split under both
+    // corpora and whether the doc leaked across the boundary. Scale
+    // shape: the prefix chain rides the SAME sketch/band dumps (a filter
+    // on the banded table IS the banding of the prefix corpus — band
+    // keys are per-doc), so the marginal cost is one more bucket window
+    // + confirm join + CC loop on 80% of the edge mass; nothing
+    // re-sketches. The oracle re-derives BOTH recursive closures
+    // independently.
+    "d23_split_stability" -> { (s, d) =>
+      val cutoff = tableRows(s, d, "documents") * 4 / 5
+      def splitRule(c: Column): Column =
+        when(pmod(c, lit(10)) === 0, lit("val"))
+          .when(pmod(c, lit(10)) === 1, lit("test"))
+          .otherwise(lit("train"))
+      val sk = docSketches(s, d)
+      val preEdges = Lsh.candidatePairs(
+          docBanded(s, d).where(col("id") < cutoff), maxBucket = 64)
+        .join(sk.select(col("doc_id").as("a"), col("mins").as("mins_a")), "a")
+        .join(sk.select(col("doc_id").as("b"), col("mins").as("mins_b")), "b")
+        .where(GraftFunctions.jaccard(col("mins_a"), col("mins_b"), docSketch) >= 0.5)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val preLabels = ConnectedComponents.labelAll(
+          t(s, d, "documents").select(col("doc_id").as("id"))
+            .where(col("id") < cutoff), preEdges)
+        .select(col("id").as("doc_id"), col("component").as("cluster_pre"))
+      docClusterLabels(s, d)
+        .select(col("doc_id"), col("cluster").as("cluster_full"))
+        .join(preLabels, "doc_id")
+        .withColumn("split_pre", splitRule(col("cluster_pre")))
+        .withColumn("split_full", splitRule(col("cluster_full")))
+        .withColumn("leaked", col("split_pre") =!= col("split_full"))
+        .select(col("doc_id"), col("cluster_pre"), col("cluster_full"),
+          col("split_pre"), col("split_full"), col("leaked"))
     })
 
   /** Distinct char-13-grams of (doc_id, text) rows, xxhash64'd to 8-byte
@@ -1936,7 +1980,72 @@ object Queries {
          |  CASE WHEN cluster % 10 = 0 THEN 'val'
          |       WHEN cluster % 10 = 1 THEN 'test'
          |       ELSE 'train' END AS split
-         |FROM lab""".stripMargin)
+         |FROM lab""".stripMargin,
+    // BOTH closures re-derived from scratch: the full-corpus chain (the
+    // d06 replica) AND the prefix chain — re-banding via a doc_id filter
+    // on the band dump, re-capping bucket sizes on the FILTERED table
+    // (bucket membership is corpus-dependent — the point of the audit),
+    // re-confirming, re-closing transitively — then the split rule on
+    // both cluster ids. A doc whose leak flag is wrong in either
+    // direction fails the hash gate.
+    "d23_split_stability" ->
+      s"""WITH RECURSIVE $candSql,
+         |$jacSql,
+         |edges AS (SELECT a, b FROM jac WHERE jac_est >= 0.5),
+         |und AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |nq AS (SELECT (count(*) * 4) // 5 AS cut FROM documents),
+         |bndp AS (SELECT id, bandKey FROM bnd, nq WHERE id < cut),
+         |keepp AS (SELECT bandKey FROM bndp GROUP BY bandKey HAVING count(*) BETWEEN 2 AND 64),
+         |candp AS (
+         |  SELECT DISTINCT x.id AS a, y.id AS b
+         |  FROM bndp x JOIN keepp USING (bandKey) JOIN bndp y USING (bandKey)
+         |  WHERE x.id < y.id),
+         |unip AS (
+         |  SELECT c.a, c.b,
+         |    unnest(list_distinct(list_concat(sa.mins, sb.mins))) AS m,
+         |    sa.mins AS ma, sb.mins AS mb
+         |  FROM candp c
+         |  JOIN sk sa ON sa.doc_id = c.a
+         |  JOIN sk sb ON sb.doc_id = c.b),
+         |rkp AS (
+         |  SELECT a, b, list_contains(ma, m) AND list_contains(mb, m) AS in_both,
+         |    row_number() OVER (PARTITION BY a, b ORDER BY (m < 0), m) AS r
+         |  FROM unip),
+         |jacp AS (
+         |  SELECT a, b,
+         |    round(count(*) FILTER (WHERE in_both) * 1.0 / greatest(count(*), 1), 6) AS jac_est
+         |  FROM rkp WHERE r <= 128 GROUP BY a, b),
+         |edgesp AS (SELECT a, b FROM jacp WHERE jac_est >= 0.5),
+         |undp AS (SELECT a AS u, b AS v FROM edgesp UNION SELECT b, a FROM edgesp),
+         |reachp(u, v) AS (
+         |  SELECT u, v FROM undp
+         |  UNION
+         |  SELECT r.u, e.v FROM reachp r JOIN undp e ON r.v = e.u),
+         |compp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reachp GROUP BY u),
+         |labp AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM (SELECT doc_id FROM documents, nq WHERE doc_id < cut) d
+         |  LEFT JOIN compp c USING (doc_id)),
+         |paired AS (
+         |  SELECT p.doc_id, p.cluster AS cluster_pre, f.cluster AS cluster_full,
+         |    CASE WHEN p.cluster % 10 = 0 THEN 'val'
+         |         WHEN p.cluster % 10 = 1 THEN 'test'
+         |         ELSE 'train' END AS split_pre,
+         |    CASE WHEN f.cluster % 10 = 0 THEN 'val'
+         |         WHEN f.cluster % 10 = 1 THEN 'test'
+         |         ELSE 'train' END AS split_full
+         |  FROM labp p JOIN lab f USING (doc_id))
+         |SELECT doc_id, cluster_pre, cluster_full, split_pre, split_full,
+         |  (split_pre <> split_full) AS leaked
+         |FROM paired""".stripMargin)
 
   /** d17's output is provably d16's (bloom = prefilter only: no false
     * negatives; false positives die in the exact join) — same oracle. */

@@ -334,6 +334,37 @@ class QueriesSpec extends AnyFunSuite {
       s"edges checked ${edges.length}; naive per-doc split would leak $perDocLeaks of them")
   }
 
+  test("d23 split-stability audit: prefix chain is a real clustering, leak flags exact") {
+    val rows = SparkEntry.queries("d23_split_stability")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))
+    val nDocs = SparkEntry.queries("d22_cluster_safe_split")(spark, sf).count()
+    val cutoff = nDocs * 4 / 5
+    assert(rows.length == cutoff, "one row per prefix doc")
+    assert(rows.forall(_._1 < cutoff), "only prefix docs audited")
+    def rule(c: Long): String = (c % 10) match {
+      case 0 => "val"; case 1 => "test"; case _ => "train"
+    }
+    val fullOf = SparkEntry.queries("d06_doc_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (doc, pre, full, sp, sf2, leaked) =>
+      assert(full == fullOf(doc), s"doc $doc: cluster_full off the d06 closure")
+      assert(sp == rule(pre) && sf2 == rule(full), s"doc $doc: split rule mismatch")
+      assert(leaked == (sp != sf2), s"doc $doc: leak flag wrong")
+    }
+    // cluster_pre is a min-member labeling of the prefix: every label is
+    // a member of its own cluster and is its minimum
+    rows.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.map(_._1).min == label,
+        s"prefix cluster $label is not its min member")
+    }
+    val leaks = rows.count(_._6)
+    val moved = rows.count(r => r._2 != r._3)
+    info(s"d23: ${rows.length} prefix docs, $moved changed cluster id on growth, " +
+      s"$leaks leaked across a split boundary")
+  }
+
   test("m11 keeps exactly one least-degraded image per flagship cluster") {
     val sfDir = sf
     val labels = SparkEntry.queries("m01_corpus_dedup_clusters")(spark, sfDir)
