@@ -1066,6 +1066,16 @@ object Queries {
         .select(col("id").as("doc_id"), col("component").as("cluster"))
     }
 
+  /** The cluster-keyed split assignment shared by d22 (the published
+    * split table) and d23 (the stability audit of that same rule): ONE
+    * definition so the audit can never drift from the table it audits.
+    * Cluster ids are non-negative min-member doc_ids, so `pmod` matches
+    * DuckDB's `%` in the oracles. */
+  private def clusterSplitRule(c: Column): Column =
+    when(pmod(c, lit(10)) === 0, lit("val"))
+      .when(pmod(c, lit(10)) === 1, lit("test"))
+      .otherwise(lit("train"))
+
   /** DuckDB replica of [[Lsh.candidatePairsCapped]] over the band dump. */
   private def candSql: String =
     s"""bnd AS (SELECT id, bandKey FROM read_parquet(${oraclePath("doc_banded")})),
@@ -1534,10 +1544,7 @@ object Queries {
     // (closure included) independently.
     "d22_cluster_safe_split" -> { (s, d) =>
       docClusterLabels(s, d)
-        .withColumn("split",
-          when(pmod(col("cluster"), lit(10)) === 0, lit("val"))
-            .when(pmod(col("cluster"), lit(10)) === 1, lit("test"))
-            .otherwise(lit("train")))
+        .withColumn("split", clusterSplitRule(col("cluster")))
     },
     // SPLIT STABILITY UNDER CORPUS GROWTH — the failure mode d22's rule
     // has over TIME: cluster ids are min-member doc_ids, so when the
@@ -1559,10 +1566,6 @@ object Queries {
     // independently.
     "d23_split_stability" -> { (s, d) =>
       val cutoff = tableRows(s, d, "documents") * 4 / 5
-      def splitRule(c: Column): Column =
-        when(pmod(c, lit(10)) === 0, lit("val"))
-          .when(pmod(c, lit(10)) === 1, lit("test"))
-          .otherwise(lit("train"))
       val sk = docSketches(s, d)
       val preEdges = Lsh.candidatePairs(
           docBanded(s, d).where(col("id") < cutoff), maxBucket = 64)
@@ -1577,8 +1580,8 @@ object Queries {
       docClusterLabels(s, d)
         .select(col("doc_id"), col("cluster").as("cluster_full"))
         .join(preLabels, "doc_id")
-        .withColumn("split_pre", splitRule(col("cluster_pre")))
-        .withColumn("split_full", splitRule(col("cluster_full")))
+        .withColumn("split_pre", clusterSplitRule(col("cluster_pre")))
+        .withColumn("split_full", clusterSplitRule(col("cluster_full")))
         .withColumn("leaked", col("split_pre") =!= col("split_full"))
         .select(col("doc_id"), col("cluster_pre"), col("cluster_full"),
           col("split_pre"), col("split_full"), col("leaked"))

@@ -395,6 +395,8 @@ class QueriesSpec extends AnyFunSuite {
       val kinds = multi(c).map(id => fmtRank(meta(id._1)._1)).distinct
       kinds.length > 1
     }
+    assert(improved > 0,
+      "no cluster has mixed degradation levels — the fmt-rank rule never bites")
     info(s"m11: ${got.size} clusters, ${multi.size} multi-member, " +
       s"$improved with mixed degradation levels")
   }

@@ -203,7 +203,15 @@ class ExpressionsSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("jointkeys").toString
     (0 until 50).map(i => (i.toLong, new Random(i).nextLong()))
       .toDF("id", "simhash").write.mode("overwrite").parquet(tmp)
-    val df = spark.read.parquet(tmp)
+    // plan-level WholeStageCodegenExec presence is NOT enough — the 64 KB
+    // overflow only fires at runtime and spark.sql.codegen.fallback
+    // (default true) silently drops to interpreted eval. Disable the
+    // fallback on a sibling session so a regression to the fold form
+    // (which overflows in this exact filter+project shape) THROWS here
+    // instead of passing silently.
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    val df = strict.read.parquet(tmp)
       .select($"id", GraftFunctions.fingerprintJointBands($"simhash", 5).as("bk"))
       .where(size($"bk") > 0)
     val hasWsc = df.queryExecution.executedPlan.exists(
