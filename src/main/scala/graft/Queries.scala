@@ -1071,7 +1071,7 @@ object Queries {
     * definition so the audit can never drift from the table it audits.
     * Cluster ids are non-negative min-member doc_ids, so `pmod` matches
     * DuckDB's `%` in the oracles. */
-  private def clusterSplitRule(c: Column): Column =
+  private[graft] def clusterSplitRule(c: Column): Column =
     when(pmod(c, lit(10)) === 0, lit("val"))
       .when(pmod(c, lit(10)) === 1, lit("test"))
       .otherwise(lit("train"))

@@ -365,6 +365,39 @@ class QueriesSpec extends AnyFunSuite {
       s"$leaks leaked across a split boundary")
   }
 
+  test("d23 detection path: a growth bridge merges prefix clusters and flips a split") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // the failure mode the audit exists for, constructed directly (the
+    // LSH/confirm stages feeding the closure are oracle-verified in
+    // d03/d04; at sf0.001/sf0.01 no injected dup happens to bridge the
+    // 4n/5 cutoff, so the corpus runs show only the stable case): prefix
+    // clusters {0,10} and {1,11}; growth adds doc 20 (>= cutoff) whose
+    // confirmed edges 10-20 and 20-11 BRIDGE them. The merged cluster
+    // inherits min id 0, so docs 1 and 11 move cluster 1 -> 0 — i.e.
+    // split test (1%10) -> val (0%10): a leak d23's flag must raise.
+    def labels(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+      ConnectedComponents.labelAll(nodes.toDF("id"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pre = labels(Seq(0L, 1L, 10L, 11L), Seq((0L, 10L), (1L, 11L)))
+    val full = labels(Seq(0L, 1L, 10L, 11L, 20L),
+      Seq((0L, 10L), (1L, 11L), (10L, 20L), (20L, 11L)))
+    assert(pre == Map(0L -> 0L, 10L -> 0L, 1L -> 1L, 11L -> 1L))
+    assert(full(1L) == 0L && full(11L) == 0L, "bridge must merge the clusters")
+    // the registered rule (the same Column both d22 and d23 run) flips
+    val out = Seq(1L, 11L).toDF("c")
+      .select(Queries.clusterSplitRule(col("c")).as("before"),
+        Queries.clusterSplitRule(lit(0L)).as("after")).collect()
+    out.foreach { r =>
+      assert(r.getString(0) == "test" && r.getString(1) == "val",
+        "cluster 1 -> 0 must move test -> val")
+    }
+    // exactly the leak predicate d23 publishes
+    val leaked = Seq(1L, 11L).map(doc =>
+      (doc, pre(doc) % 10 != full(doc) % 10)).filter(_._2).map(_._1)
+    assert(leaked == Seq(1L, 11L), s"leak flags wrong: $leaked")
+  }
+
   test("m11 keeps exactly one least-degraded image per flagship cluster") {
     val sfDir = sf
     val labels = SparkEntry.queries("m01_corpus_dedup_clusters")(spark, sfDir)
