@@ -771,6 +771,38 @@ object Queries {
     // estimator — ranking, kth-hash fraction, estimate — from raw text.
     "t13_cardinality_kmv" -> { (s, d) =>
       kmvCardinality(t(s, d, "documents"), kmvK)
+    },
+    // TF-IDF SALIENT TERMS — the term-weighting family (keyword
+    // extraction / topic tagging, the signal a curation tier uses for
+    // domain mixing and index routing): per document, the top-3 terms by
+    // tf·idf with the smooth-idf form idf = ln((N+1)/(df+1)) + 1 (the
+    // sklearn default — never divides by zero, never goes negative).
+    // Scale shape: THREE exchanges total, none corpus-wide in payload —
+    // (1) the (doc_id, term) tf aggregation (map-side partial combine
+    // collapses in-doc repeats before the shuffle), (2) the df
+    // aggregation over the tf table, whose output is vocabulary-sized (a
+    // dimension table at any corpus scale — broadcast back by hint), and
+    // (3) the per-doc top-k window, which runs on the tf table with
+    // WindowGroupLimit pruning rows past rank 3 BEFORE the sort within
+    // each partition. Ranking uses the ROUNDED score in both engines so
+    // a 1-ulp ln() divergence cannot flip an order; ties break on the
+    // term string (total order — deterministic cross-engine).
+    "t14_tfidf_terms" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val n = tableRows(s, d, "documents")
+      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("idf", log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
+      val scored = tf.join(broadcast(dfT), "term")
+        .withColumn("score", round(col("tf") * col("idf"), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"),
+          col("tf"), col("df"), col("score"))
     })
 
   /** t13's estimator body; `k` is a parameter so the spec can drive the
@@ -844,6 +876,26 @@ object Queries {
         |SELECT source, exact_distinct, est_distinct,
         |  round(abs(est_distinct - exact_distinct) / exact_distinct, 6) AS rel_err
         |FROM s""".stripMargin,
+    // full tf·idf replica from raw text: same tokenizer, same smooth-idf
+    // formula, ranking on the ROUNDED score with term-string tiebreak —
+    // a wrong df, a wrong N, or a divergent ln() all fail the hash gate
+    "t14_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |    round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |rr AS (SELECT doc_id, term, tf, df, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, term) AS rk
+        |       FROM sc)
+        |SELECT doc_id, rk, term, tf, df, score FROM rr WHERE rk <= 3""".stripMargin,
     "t12_doc_repetition" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -2616,6 +2668,35 @@ object Queries {
           col("cluster_size").as("n_members"),
           col("fmt").as("keep_fmt"), col("n_bytes").as("keep_bytes"))
     },
+    // CROSS-MODAL CONSISTENCY PROFILE — the label-noise report a
+    // captioning/CLIP tier reads after dedup: per multi-member near-dup
+    // cluster, how many DISTINCT captions and perceptual hashes its
+    // members carry. n_captions = 1 means the cluster's caption is safe
+    // to keep verbatim on the canonical copy; n_captions > 1 flags
+    // caption drift inside visually-duplicate content (the caption/
+    // capsub/capedit dup kinds by construction here; alt-text rewrites
+    // in the wild) where a tier must PICK a canonical caption rather
+    // than trust any one row. min/max caption length localizes the
+    // truncation signature (capsub) vs the rewrite signature (capedit).
+    // Scale shape: the labels are filtered to multi-member clusters
+    // (duplicate-mass-sized, ~5% here) BEFORE the metadata join, so the
+    // join and both aggregations run on dup-mass data; the metadata dump
+    // carries (id, caption, phash) only — image bytes never shuffle
+    // (the m11 discipline).
+    "m12_caption_consistency" -> { (s, d) =>
+      val caps = dumpDerived(s, d, "m12_caps")(
+        SyntheticCorpus.corpus(s, corpusRows(d)).toDF()
+          .select(col("image_id"), col("caption"), col("phash")))
+      m01Clusters(s, d).where(col("cluster_size") >= 2)
+        .join(caps, "image_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("caption")).as("n_captions"),
+          countDistinct(col("phash")).as("n_phashes"),
+          min(length(col("caption"))).as("min_cap_len"),
+          max(length(col("caption"))).as("max_cap_len"))
+        .withColumn("cap_consistent", col("n_captions") === 1)
+    },
     // binary-column decode + feature extraction (multimodal plumbing;
     // decode for non-PPM formats is the clearly-marked stub fallback)
     "m02_image_decode_stats" -> { (s, d) =>
@@ -3099,7 +3180,40 @@ object Queries {
          |  JOIN meta m USING (image_id))
          |SELECT cluster, image_id AS keep_id, cluster_size AS n_members,
          |  fmt AS keep_fmt, n_bytes AS keep_bytes
-         |FROM ranked WHERE rk = 1""".stripMargin)
+         |FROM ranked WHERE rk = 1""".stripMargin,
+    // the m01 closure re-derived from the edge dump, joined to the
+    // (id, caption, phash) metadata dump: distinct-caption / distinct-
+    // phash counts per multi-member cluster — a wrong closure, a lost
+    // member, or a miscounted variant all fail the hash gate
+    "m12_caption_consistency" ->
+      s"""WITH RECURSIVE
+         |ed AS (SELECT src, dst FROM read_parquet(${oraclePath("m01_edges")}) WHERE src <> dst),
+         |und AS (SELECT src AS u, dst AS v FROM ed UNION SELECT dst, src FROM ed),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM und
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         |comp AS (SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+         |nodes AS (SELECT image_id, vid FROM read_parquet(${oraclePath("m01_idmap")})),
+         |lbl AS (
+         |  SELECT n.image_id, coalesce(c.component, n.vid) AS component
+         |  FROM (SELECT image_id, vid FROM nodes) n
+         |  LEFT JOIN (SELECT id, cluster AS component FROM comp) c ON c.id = n.vid),
+         |named AS (
+         |  SELECT component, min(image_id) AS cluster, count(*) AS cluster_size
+         |  FROM lbl GROUP BY component),
+         |caps AS (SELECT image_id, caption, phash
+         |  FROM read_parquet(${oraclePath("m12_caps")}))
+         |SELECT nm.cluster, count(*) AS n_members,
+         |  count(DISTINCT cp.caption) AS n_captions,
+         |  count(DISTINCT cp.phash) AS n_phashes,
+         |  min(length(cp.caption)) AS min_cap_len,
+         |  max(length(cp.caption)) AS max_cap_len,
+         |  count(DISTINCT cp.caption) = 1 AS cap_consistent
+         |FROM lbl l JOIN named nm USING (component)
+         |JOIN caps cp USING (image_id)
+         |WHERE nm.cluster_size >= 2
+         |GROUP BY nm.cluster""".stripMargin)
 
   // ================================================================ st: structured streaming
   //

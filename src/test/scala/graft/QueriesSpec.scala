@@ -434,6 +434,71 @@ class QueriesSpec extends AnyFunSuite {
       s"$improved with mixed degradation levels")
   }
 
+  test("t14 tf-idf top terms match a local recompute exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length
+    val tf = docs.flatMap { case (doc, text) =>
+      text.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (term, occ) => (doc, term, occ.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).map { case (term, rs) => term -> rs.length.toLong }
+    val expected = tf.groupBy(_._1).flatMap { case (doc, rows) =>
+      val scored = rows.map { case (_, term, c) =>
+        val idf = math.log((n + 1.0) / (dfm(term) + 1.0)) + 1.0
+        val score = BigDecimal(c * idf)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (term, c, dfm(term), score)
+      }
+      scored.sortBy { case (term, _, _, score) => (-score, term) }
+        .take(3).zipWithIndex
+        .map { case ((term, c, dfv, score), i) => (doc, i + 1, term, c, dfv, score) }
+        .toSeq
+    }.toSet
+    val got = SparkEntry.queries("t14_tfidf_terms")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected, "tf-idf top-3 mismatch vs local recompute")
+    // the idf weighting bites: some doc's top term is NOT its most
+    // frequent term (a rarer term outranks a commoner one on idf)
+    val byDoc = got.groupBy(_._1)
+    val idfBites = byDoc.values.count { rows =>
+      val top = rows.minBy(_._2)
+      rows.exists(r => r._4 > top._4)
+    }
+    assert(idfBites > 0, "idf never outranked raw frequency — weighting is vacuous")
+    info(s"t14: ${byDoc.size} docs, idf outranks raw tf in $idfBites")
+  }
+
+  test("m12 per-cluster caption/phash consistency matches a local recompute") {
+    val labels = SparkEntry.queries("m01_corpus_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val meta = graft.sources.SyntheticCorpus.corpus(spark, Queries.corpusRows(sf))
+      .toDF().select("image_id", "caption", "phash").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val expected = labels.filter(_._3 >= 2).groupBy(_._2).map { case (cl, ms) =>
+      val cs = ms.map(m => meta(m._1))
+      val caps = cs.map(_._1)
+      cl -> ((ms.length.toLong, caps.distinct.length.toLong,
+        cs.map(_._2).distinct.length.toLong,
+        caps.map(_.length).min, caps.map(_.length).max,
+        caps.distinct.length == 1))
+    }
+    val got = SparkEntry.queries("m12_caption_consistency")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getBoolean(6)))).toMap
+    assert(got == expected, "consistency profile mismatch vs local recompute")
+    // both report branches are exercised by the injected dup kinds:
+    // caption-preserving kinds (exact/noise/reencode/pngenc/jpgenc) give
+    // consistent clusters; caption-perturbing kinds (caption/capsub/
+    // capedit) give drifted ones
+    assert(got.values.exists(_._6), "no caption-consistent cluster")
+    assert(got.values.exists(!_._6), "no caption-drifted cluster — dup kinds missing")
+    info(s"m12: ${got.size} multi-member clusters, " +
+      s"${got.values.count(!_._6)} with caption drift")
+  }
+
   test("d14 containment matches the kernel recompute and catches non-Jaccard subset dups") {
     val rows = SparkEntry.queries("d14_containment_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
