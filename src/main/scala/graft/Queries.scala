@@ -777,23 +777,27 @@ object Queries {
     // domain mixing and index routing): per document, the top-3 terms by
     // tf·idf with the smooth-idf form idf = ln((N+1)/(df+1)) + 1 (the
     // sklearn default — never divides by zero, never goes negative).
-    // Scale shape: THREE exchanges total, none corpus-wide in payload —
-    // (1) the (doc_id, term) tf aggregation (map-side partial combine
-    // collapses in-doc repeats before the shuffle), (2) the df
-    // aggregation over the tf table, whose output is vocabulary-sized (a
-    // dimension table at any corpus scale — broadcast back by hint), and
-    // (3) the per-doc top-k window, which runs on the tf table with
-    // WindowGroupLimit pruning rows past rank 3 BEFORE the sort within
-    // each partition. Ranking uses the ROUNDED score in both engines so
-    // a 1-ulp ln() divergence cannot flip an order; ties break on the
-    // term string (total order — deterministic cross-engine).
+    // Scale shape: two column-pruned corpus scans but only THREE
+    // exchanges, none corpus-wide in payload — (1) the (doc_id, term) tf
+    // aggregation (map-side partial combine collapses in-doc repeats
+    // before the shuffle), (2) the df count over PER-ROW-DISTINCT tokens
+    // (array_distinct inside the row, so the exchange keys on the term
+    // alone with map-side combine — no doc_id-keyed re-shuffle on this
+    // side), whose output is vocabulary-sized (a dimension table at any
+    // corpus scale — broadcast back by hint), and (3) the per-doc top-k
+    // window, which runs on the tf table with WindowGroupLimit pruning
+    // rows past rank 3 BEFORE the sort within each partition. Ranking
+    // uses the ROUNDED score in both engines so a 1-ulp ln() divergence
+    // cannot flip an order; ties break on the term string (total order —
+    // deterministic cross-engine).
     "t14_tfidf_terms" -> { (s, d) =>
       val docs = t(s, d, "documents")
       val n = tableRows(s, d, "documents")
       val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dfT = docs.select(explode(array_distinct(toks(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .withColumn("idf", log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
       val scored = tf.join(broadcast(dfT), "term")
         .withColumn("score", round(col("tf") * col("idf"), 6))
