@@ -2312,6 +2312,36 @@ object Queries {
       val (cbLit, codes) = pqModel(s, d)
       Similarity.ivfPqTopK(normalizedEmb(s, d), "vec_id", "embedding",
         assign, codes, cbLit, m = pqM, ks = pqKs, subDim = pqSubDim, k = 5)
+    },
+    // TWO-STAGE RETRIEVAL: ADC shortlist → EXACT RE-RANK — the production
+    // ANN shape (FAISS's refine step): the PQ index returns a cheap
+    // approximate top-20 shortlist from 8-byte codes, then ONLY those
+    // 20·n candidate rows join back to the full vectors for an exact
+    // cosine, and the final top-5 is ranked on the exact score. This
+    // completes the retrieval ladder (brute → LSH → IVF → IVF-PQ →
+    // PQ+rerank) with its memory/compute contract: the full vectors are
+    // touched O(shortlist), never O(candidates), and quantization error
+    // affects RECALL of the shortlist only, never the final ordering —
+    // if the true neighbor survives the shortlist, exact re-ranking puts
+    // it first (the spec measures exactly this against brute-force
+    // ground truth). Both the approximate (adc) and exact (cos) scores
+    // are emitted so the quantization gap stays observable per pair.
+    "e09_pq_rerank_topk" -> { (s, d) =>
+      val (_, assign) = ivfModel(s, d)
+      val (cbLit, codes) = pqModel(s, d)
+      val v = normalizedEmb(s, d)
+      val shortlist = Similarity.ivfPqTopK(v, "vec_id", "embedding",
+        assign, codes, cbLit, m = pqM, ks = pqKs, subDim = pqSubDim, k = 20)
+      val qv = v.select(col("vec_id"), col("embedding").as("qe"))
+      val nv = v.select(col("vec_id").as("neighbor"), col("embedding").as("ne"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("neighbor"))
+      shortlist.join(nv, "neighbor").join(qv, "vec_id")
+        .withColumn("cos", round(Similarity.dot(col("qe"), col("ne")), 6))
+        .withColumn("rrk", row_number().over(w))
+        .where(col("rrk") <= 5)
+        .select(col("vec_id"), col("neighbor"), col("adc"),
+          col("cos"), col("rrk"))
     })
 
   /** PQ geometry for the 64-dim embeddings table: the standard PQ8×8 —
@@ -2592,6 +2622,71 @@ object Queries {
         |    row_number() OVER (PARTITION BY vec_id ORDER BY adc, neighbor) AS rk
         |  FROM scoredq)
         |SELECT vec_id, neighbor, adc, rk FROM rr WHERE rk <= 5""".stripMargin,
+    // the e08 derivation extended two stages: rk <= 20 shortlist, exact
+    // cosine re-score over the normalized vectors, re-rank on the exact
+    // score — a wrong shortlist, a wrong exact dot, or an unstable
+    // re-rank all fail the hash gate
+    "e09_pq_rerank_topk" ->
+      s"""WITH vr AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |v AS (SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
+        |        ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+        |      END AS e FROM vr),
+        |ivf AS (SELECT cell, cv::DOUBLE[] AS ce
+        |        FROM read_parquet(${oraclePath("e04_centroids")})),
+        |pq AS (SELECT m, code, cv::DOUBLE[] AS c
+        |       FROM read_parquet(${oraclePath("e08_pq_codebook")})),
+        |cscored AS (
+        |  SELECT vr.vec_id AS id, ivf.cell,
+        |    round(list_dot_product(vr.e, ivf.ce) /
+        |      sqrt(list_dot_product(vr.e, vr.e) * list_dot_product(ivf.ce, ivf.ce)), 6) AS csim
+        |  FROM vr CROSS JOIN ivf),
+        |cranked AS (
+        |  SELECT id, cell,
+        |    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell) AS crk
+        |  FROM cscored),
+        |sq AS (
+        |  SELECT v.vec_id, pq.m, pq.code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (v.e[pq.m * 8 + i] - pq.c[i]) * (v.e[pq.m * 8 + i] - pq.c[i]))) AS d2
+        |  FROM v CROSS JOIN pq),
+        |codes AS (
+        |  SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS r
+        |    FROM sq) WHERE r = 1),
+        |members AS (SELECT cell, id AS neighbor FROM cranked WHERE crk = 1),
+        |probes AS (SELECT id AS vec_id, cell FROM cranked WHERE crk <= 8),
+        |cand AS (
+        |  SELECT p.vec_id, mb.neighbor
+        |  FROM probes p JOIN members mb ON p.cell = mb.cell AND p.vec_id <> mb.neighbor),
+        |parts AS (
+        |  SELECT cd.vec_id, cd.neighbor, pq.m,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (qv.e[pq.m * 8 + i] - pq.c[i]) * (qv.e[pq.m * 8 + i] - pq.c[i]))) AS d2
+        |  FROM cand cd
+        |  JOIN v qv ON qv.vec_id = cd.vec_id
+        |  JOIN codes k ON k.vec_id = cd.neighbor
+        |  JOIN pq ON pq.m = k.m AND pq.code = k.code),
+        |scoredq AS (
+        |  SELECT vec_id, neighbor, round(sum(d2), 6) AS adc
+        |  FROM parts GROUP BY vec_id, neighbor),
+        |rr AS (
+        |  SELECT vec_id, neighbor, adc,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY adc, neighbor) AS rk
+        |  FROM scoredq),
+        |short AS (SELECT vec_id, neighbor, adc FROM rr WHERE rk <= 20),
+        |rer AS (
+        |  SELECT sh.vec_id, sh.neighbor, sh.adc,
+        |    round(list_dot_product(qv.e, nv.e), 6) AS cos
+        |  FROM short sh
+        |  JOIN v qv ON qv.vec_id = sh.vec_id
+        |  JOIN v nv ON nv.vec_id = sh.neighbor),
+        |rr2 AS (
+        |  SELECT vec_id, neighbor, adc, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, neighbor) AS rrk
+        |  FROM rer)
+        |SELECT vec_id, neighbor, adc, cos, rrk FROM rr2 WHERE rrk <= 5""".stripMargin,
     // independent clustering replica: exact brute-force edge set (the
     // same gate e03 passes at recall 1.0) closed transitively, min-id
     // component labels, absent vectors as singletons — the d06 pattern

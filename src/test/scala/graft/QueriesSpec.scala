@@ -1103,6 +1103,56 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("e09 exact re-rank: cos is the true cosine, order is exact, top-1 never worse than ADC") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val nvs = emb.map { case (k, v) => k -> norm(v) }
+    def cos6(a: Long, b: Long): Double = {
+      val (x, y) = (nvs(a), nvs(b))
+      var (d, i) = (0.0, 0)
+      while (i < x.length) { d += x(i) * y(i); i += 1 }
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = SparkEntry.queries("e09_pq_rerank_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    // the exact-score column IS the cosine over normalized vectors
+    out.foreach { case (q, nb, _, c, _) =>
+      assert(math.abs(c - cos6(q, nb)) <= 1e-9, s"($q,$nb): $c != ${cos6(q, nb)}")
+    }
+    // ranks are contiguous and ordered by the EXACT score (neighbor-id
+    // tiebreak) — quantization error cannot affect the final ordering
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to sorted.length), s"q $q ranks")
+      sorted.sliding(2).foreach {
+        case Array(x, y) =>
+          assert(x._4 > y._4 || (x._4 == y._4 && x._2 < y._2), s"q $q order")
+        case _ => ()
+      }
+    }
+    // the refine contract: re-ranking the SAME shortlist on exact scores
+    // can only improve top-1 agreement with brute-force ground truth
+    val bruteTop1 = nvs.keys.map { q =>
+      q -> nvs.keys.filter(_ != q).map(n => (n, cos6(q, n)))
+        .minBy { case (n, c) => (-c, n) }._1
+    }.toMap
+    val rerankTop1 = out.filter(_._5 == 1).map(r => r._1 -> r._2).toMap
+    val adcTop1 = SparkEntry.queries("e08_pq_adc_topk")(spark, sf).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agreeR = rerankTop1.count { case (q, n) => bruteTop1(q) == n }
+    val agreeA = adcTop1.count { case (q, n) => bruteTop1(q) == n }
+    assert(agreeR >= agreeA,
+      s"rerank top-1 agreement $agreeR below ADC's $agreeA")
+    info(s"e09: top-1 brute agreement rerank $agreeR vs adc $agreeA " +
+      s"over ${rerankTop1.size} queries")
+  }
+
   test("t09 plan: one stratum exchange, rank limit pushed below the window") {
     val df = SparkEntry.queries("t09_stratified_sample")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
