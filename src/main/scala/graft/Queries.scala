@@ -786,7 +786,10 @@ object Queries {
     // side), whose output is vocabulary-sized (a dimension table at any
     // corpus scale — broadcast back by hint), and (3) the per-doc top-k
     // window, which runs on the tf table with WindowGroupLimit pruning
-    // rows past rank 3 BEFORE the sort within each partition. Ranking
+    // rows past rank 3 BEFORE the sort within each partition. df counts
+    // per-ROW distinct terms (rows = documents under the table contract
+    // of one row per doc_id; the oracle and spec replicate the per-row
+    // formulation literally, so the gate is contract-independent). Ranking
     // uses the ROUNDED score in both engines so a 1-ulp ln() divergence
     // cannot flip an order; ties break on the term string (total order —
     // deterministic cross-engine).
@@ -882,14 +885,21 @@ object Queries {
         |FROM s""".stripMargin,
     // full tf·idf replica from raw text: same tokenizer, same smooth-idf
     // formula, ranking on the ROUNDED score with term-string tiebreak —
-    // a wrong df, a wrong N, or a divergent ln() all fail the hash gate
+    // a wrong df, a wrong N, or a divergent ln() all fail the hash gate.
+    // df counts per-ROW distinct terms (list_distinct before unnest),
+    // mirroring the Spark side's array_distinct formulation exactly —
+    // the two agree under ANY input, not just unique doc_ids
     "t14_tfidf_terms" ->
       """WITH tok AS (
         |  SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dfr AS (
+        |  SELECT unnest(list_distinct(
+        |    list_filter(string_split(text, ' '), x -> x != ''))) AS term
+        |  FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM dfr GROUP BY 1),
         |n AS (SELECT count(*) AS n FROM documents),
         |sc AS (
         |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
@@ -2450,6 +2460,62 @@ object Queries {
         minCos = 0.45, dim = 64, nRows = tableRows(s, d, "embeddings"))
     }
 
+  /** Shared IVF-PQ derivation CTEs for the e08/e09 oracles: normalized
+    * vectors, IVF cell assignment from the dumped centroids, PQ encode
+    * from the dumped codebooks, candidate generation (8-probe), ADC, and
+    * the `rr` rank over it. ONE copy — a future change to the search
+    * derivation cannot drift between the ADC query and its re-rank
+    * extension. Use right after `WITH`; consumers read `rr`
+    * (vec_id, neighbor, adc, rk) and `v` (vec_id, normalized e). */
+  private def pqAdcCtes: String =
+    s"""vr AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |v AS (SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
+       |        ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+       |      END AS e FROM vr),
+       |ivf AS (SELECT cell, cv::DOUBLE[] AS ce
+       |        FROM read_parquet(${oraclePath("e04_centroids")})),
+       |pq AS (SELECT m, code, cv::DOUBLE[] AS c
+       |       FROM read_parquet(${oraclePath("e08_pq_codebook")})),
+       |cscored AS (
+       |  SELECT vr.vec_id AS id, ivf.cell,
+       |    round(list_dot_product(vr.e, ivf.ce) /
+       |      sqrt(list_dot_product(vr.e, vr.e) * list_dot_product(ivf.ce, ivf.ce)), 6) AS csim
+       |  FROM vr CROSS JOIN ivf),
+       |cranked AS (
+       |  SELECT id, cell,
+       |    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell) AS crk
+       |  FROM cscored),
+       |sq AS (
+       |  SELECT v.vec_id, pq.m, pq.code,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> (v.e[pq.m * 8 + i] - pq.c[i]) * (v.e[pq.m * 8 + i] - pq.c[i]))) AS d2
+       |  FROM v CROSS JOIN pq),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS r
+       |    FROM sq) WHERE r = 1),
+       |members AS (SELECT cell, id AS neighbor FROM cranked WHERE crk = 1),
+       |probes AS (SELECT id AS vec_id, cell FROM cranked WHERE crk <= 8),
+       |cand AS (
+       |  SELECT p.vec_id, mb.neighbor
+       |  FROM probes p JOIN members mb ON p.cell = mb.cell AND p.vec_id <> mb.neighbor),
+       |parts AS (
+       |  SELECT cd.vec_id, cd.neighbor, pq.m,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> (qv.e[pq.m * 8 + i] - pq.c[i]) * (qv.e[pq.m * 8 + i] - pq.c[i]))) AS d2
+       |  FROM cand cd
+       |  JOIN v qv ON qv.vec_id = cd.vec_id
+       |  JOIN codes k ON k.vec_id = cd.neighbor
+       |  JOIN pq ON pq.m = k.m AND pq.code = k.code),
+       |scoredq AS (
+       |  SELECT vec_id, neighbor, round(sum(d2), 6) AS adc
+       |  FROM parts GROUP BY vec_id, neighbor),
+       |rr AS (
+       |  SELECT vec_id, neighbor, adc,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY adc, neighbor) AS rk
+       |  FROM scoredq)""".stripMargin
+
   private val embeddingOracles: Map[String, String] = Map(
     "e01_knn_bruteforce" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -2574,106 +2640,14 @@ object Queries {
     // never consulted — a wrong argmin, a transposed subspace, or a
     // ranking-order defect all fail the hash gate.
     "e08_pq_adc_topk" ->
-      s"""WITH vr AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |v AS (SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
-        |        ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
-        |      END AS e FROM vr),
-        |ivf AS (SELECT cell, cv::DOUBLE[] AS ce
-        |        FROM read_parquet(${oraclePath("e04_centroids")})),
-        |pq AS (SELECT m, code, cv::DOUBLE[] AS c
-        |       FROM read_parquet(${oraclePath("e08_pq_codebook")})),
-        |cscored AS (
-        |  SELECT vr.vec_id AS id, ivf.cell,
-        |    round(list_dot_product(vr.e, ivf.ce) /
-        |      sqrt(list_dot_product(vr.e, vr.e) * list_dot_product(ivf.ce, ivf.ce)), 6) AS csim
-        |  FROM vr CROSS JOIN ivf),
-        |cranked AS (
-        |  SELECT id, cell,
-        |    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell) AS crk
-        |  FROM cscored),
-        |sq AS (
-        |  SELECT v.vec_id, pq.m, pq.code,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (v.e[pq.m * 8 + i] - pq.c[i]) * (v.e[pq.m * 8 + i] - pq.c[i]))) AS d2
-        |  FROM v CROSS JOIN pq),
-        |codes AS (
-        |  SELECT vec_id, m, code FROM (
-        |    SELECT vec_id, m, code,
-        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS r
-        |    FROM sq) WHERE r = 1),
-        |members AS (SELECT cell, id AS neighbor FROM cranked WHERE crk = 1),
-        |probes AS (SELECT id AS vec_id, cell FROM cranked WHERE crk <= 8),
-        |cand AS (
-        |  SELECT p.vec_id, mb.neighbor
-        |  FROM probes p JOIN members mb ON p.cell = mb.cell AND p.vec_id <> mb.neighbor),
-        |parts AS (
-        |  SELECT cd.vec_id, cd.neighbor, pq.m,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (qv.e[pq.m * 8 + i] - pq.c[i]) * (qv.e[pq.m * 8 + i] - pq.c[i]))) AS d2
-        |  FROM cand cd
-        |  JOIN v qv ON qv.vec_id = cd.vec_id
-        |  JOIN codes k ON k.vec_id = cd.neighbor
-        |  JOIN pq ON pq.m = k.m AND pq.code = k.code),
-        |scoredq AS (
-        |  SELECT vec_id, neighbor, round(sum(d2), 6) AS adc
-        |  FROM parts GROUP BY vec_id, neighbor),
-        |rr AS (
-        |  SELECT vec_id, neighbor, adc,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY adc, neighbor) AS rk
-        |  FROM scoredq)
+      s"""WITH $pqAdcCtes
         |SELECT vec_id, neighbor, adc, rk FROM rr WHERE rk <= 5""".stripMargin,
     // the e08 derivation extended two stages: rk <= 20 shortlist, exact
     // cosine re-score over the normalized vectors, re-rank on the exact
     // score — a wrong shortlist, a wrong exact dot, or an unstable
     // re-rank all fail the hash gate
     "e09_pq_rerank_topk" ->
-      s"""WITH vr AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |v AS (SELECT vec_id, CASE WHEN list_dot_product(e, e) = 0 THEN e
-        |        ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
-        |      END AS e FROM vr),
-        |ivf AS (SELECT cell, cv::DOUBLE[] AS ce
-        |        FROM read_parquet(${oraclePath("e04_centroids")})),
-        |pq AS (SELECT m, code, cv::DOUBLE[] AS c
-        |       FROM read_parquet(${oraclePath("e08_pq_codebook")})),
-        |cscored AS (
-        |  SELECT vr.vec_id AS id, ivf.cell,
-        |    round(list_dot_product(vr.e, ivf.ce) /
-        |      sqrt(list_dot_product(vr.e, vr.e) * list_dot_product(ivf.ce, ivf.ce)), 6) AS csim
-        |  FROM vr CROSS JOIN ivf),
-        |cranked AS (
-        |  SELECT id, cell,
-        |    row_number() OVER (PARTITION BY id ORDER BY csim DESC, cell) AS crk
-        |  FROM cscored),
-        |sq AS (
-        |  SELECT v.vec_id, pq.m, pq.code,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (v.e[pq.m * 8 + i] - pq.c[i]) * (v.e[pq.m * 8 + i] - pq.c[i]))) AS d2
-        |  FROM v CROSS JOIN pq),
-        |codes AS (
-        |  SELECT vec_id, m, code FROM (
-        |    SELECT vec_id, m, code,
-        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS r
-        |    FROM sq) WHERE r = 1),
-        |members AS (SELECT cell, id AS neighbor FROM cranked WHERE crk = 1),
-        |probes AS (SELECT id AS vec_id, cell FROM cranked WHERE crk <= 8),
-        |cand AS (
-        |  SELECT p.vec_id, mb.neighbor
-        |  FROM probes p JOIN members mb ON p.cell = mb.cell AND p.vec_id <> mb.neighbor),
-        |parts AS (
-        |  SELECT cd.vec_id, cd.neighbor, pq.m,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (qv.e[pq.m * 8 + i] - pq.c[i]) * (qv.e[pq.m * 8 + i] - pq.c[i]))) AS d2
-        |  FROM cand cd
-        |  JOIN v qv ON qv.vec_id = cd.vec_id
-        |  JOIN codes k ON k.vec_id = cd.neighbor
-        |  JOIN pq ON pq.m = k.m AND pq.code = k.code),
-        |scoredq AS (
-        |  SELECT vec_id, neighbor, round(sum(d2), 6) AS adc
-        |  FROM parts GROUP BY vec_id, neighbor),
-        |rr AS (
-        |  SELECT vec_id, neighbor, adc,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY adc, neighbor) AS rk
-        |  FROM scoredq),
+      s"""WITH $pqAdcCtes,
         |short AS (SELECT vec_id, neighbor, adc FROM rr WHERE rk <= 20),
         |rer AS (
         |  SELECT sh.vec_id, sh.neighbor, sh.adc,
@@ -3152,6 +3126,31 @@ object Queries {
     ("sketches", 2000L), ("exact_tagged", 2000L), ("exact_edges", 11L),
     ("candidates", 1108L), ("near_edges", 90L), ("clusters", 2000L))
 
+  /** Shared closure-replica CTE prefix for every oracle that re-derives
+    * the flagship clustering tail from the m01 edge/idmap dumps (m01,
+    * m11, m12): recursive transitive closure over the edge set, min-id
+    * component labels, singletons via coalesce-to-vid, min-image_id
+    * relabel + component sizes. ONE copy — a future closure-rule change
+    * cannot drift between its three consumers. Use right after `WITH
+    * RECURSIVE` and follow with the consumer's own CTEs/SELECT over
+    * `lbl` (image_id, component) and `named` (component, cluster,
+    * cluster_size). */
+  private def m01ClosureCtes: String =
+    s"""ed AS (SELECT src, dst FROM read_parquet(${oraclePath("m01_edges")}) WHERE src <> dst),
+       |und AS (SELECT src AS u, dst AS v FROM ed UNION SELECT dst, src FROM ed),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+       |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+       |nodes AS (SELECT image_id, vid FROM read_parquet(${oraclePath("m01_idmap")})),
+       |lbl AS (
+       |  SELECT n.image_id, coalesce(c.component, n.vid) AS component
+       |  FROM nodes n LEFT JOIN comp c ON c.id = n.vid),
+       |named AS (
+       |  SELECT component, min(image_id) AS cluster, count(*) AS cluster_size
+       |  FROM lbl GROUP BY component)""".stripMargin
+
   private val multimodalOracles: Map[String, String] = Map(
     // deterministic decode statistics of the fixed synthetic corpus
     // (n=5000, seed 42): one row per container format incl. the real
@@ -3231,20 +3230,7 @@ object Queries {
     // the dumped edge set, then min-image_id relabel + component sizes
     "m01_corpus_dedup_clusters" ->
       s"""WITH RECURSIVE
-         |ed AS (SELECT src, dst FROM read_parquet(${oraclePath("m01_edges")}) WHERE src <> dst),
-         |und AS (SELECT src AS u, dst AS v FROM ed UNION SELECT dst, src FROM ed),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM und
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
-         |comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
-         |nodes AS (SELECT image_id, vid FROM read_parquet(${oraclePath("m01_idmap")})),
-         |lbl AS (
-         |  SELECT n.image_id, coalesce(c.component, n.vid) AS component
-         |  FROM nodes n LEFT JOIN comp c ON c.id = n.vid),
-         |named AS (
-         |  SELECT component, min(image_id) AS cluster, count(*) AS cluster_size
-         |  FROM lbl GROUP BY component)
+         |$m01ClosureCtes
          |SELECT l.image_id, nm.cluster, nm.cluster_size
          |FROM lbl l JOIN named nm USING (component)""".stripMargin,
     // the m01 closure extended with the least-degraded keep rule: fmt
@@ -3253,21 +3239,7 @@ object Queries {
     // unstable tie-break fails the hash gate
     "m11_image_canonical_keep" ->
       s"""WITH RECURSIVE
-         |ed AS (SELECT src, dst FROM read_parquet(${oraclePath("m01_edges")}) WHERE src <> dst),
-         |und AS (SELECT src AS u, dst AS v FROM ed UNION SELECT dst, src FROM ed),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM und
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
-         |comp AS (SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
-         |nodes AS (SELECT image_id, vid FROM read_parquet(${oraclePath("m01_idmap")})),
-         |lbl AS (
-         |  SELECT n.image_id, coalesce(c.component, n.vid) AS component
-         |  FROM (SELECT image_id, vid FROM nodes) n
-         |  LEFT JOIN (SELECT id, cluster AS component FROM comp) c ON c.id = n.vid),
-         |named AS (
-         |  SELECT component, min(image_id) AS cluster, count(*) AS cluster_size
-         |  FROM lbl GROUP BY component),
+         |$m01ClosureCtes,
          |meta AS (SELECT image_id, fmt, n_bytes FROM read_parquet(${oraclePath("m11_meta")})),
          |ranked AS (
          |  SELECT nm.cluster, l.image_id, nm.cluster_size, m.fmt, m.n_bytes,
@@ -3286,21 +3258,7 @@ object Queries {
     // member, or a miscounted variant all fail the hash gate
     "m12_caption_consistency" ->
       s"""WITH RECURSIVE
-         |ed AS (SELECT src, dst FROM read_parquet(${oraclePath("m01_edges")}) WHERE src <> dst),
-         |und AS (SELECT src AS u, dst AS v FROM ed UNION SELECT dst, src FROM ed),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM und
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
-         |comp AS (SELECT u AS id, least(u, min(v)) AS cluster FROM reach GROUP BY u),
-         |nodes AS (SELECT image_id, vid FROM read_parquet(${oraclePath("m01_idmap")})),
-         |lbl AS (
-         |  SELECT n.image_id, coalesce(c.component, n.vid) AS component
-         |  FROM (SELECT image_id, vid FROM nodes) n
-         |  LEFT JOIN (SELECT id, cluster AS component FROM comp) c ON c.id = n.vid),
-         |named AS (
-         |  SELECT component, min(image_id) AS cluster, count(*) AS cluster_size
-         |  FROM lbl GROUP BY component),
+         |$m01ClosureCtes,
          |caps AS (SELECT image_id, caption, phash
          |  FROM read_parquet(${oraclePath("m12_caps")}))
          |SELECT nm.cluster, count(*) AS n_members,

@@ -443,7 +443,10 @@ class QueriesSpec extends AnyFunSuite {
       text.split(" ").filter(_.nonEmpty).groupBy(identity)
         .map { case (term, occ) => (doc, term, occ.length.toLong) }
     }
-    val dfm = tf.groupBy(_._2).map { case (term, rs) => term -> rs.length.toLong }
+    // per-ROW distinct df — the Spark side's array_distinct formulation
+    val dfm = docs.flatMap { case (_, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.toSeq
+    }.groupBy(identity).map { case (term, occ) => term -> occ.length.toLong }
     val expected = tf.groupBy(_._1).flatMap { case (doc, rows) =>
       val scored = rows.map { case (_, term, c) =>
         val idf = math.log((n + 1.0) / (dfm(term) + 1.0)) + 1.0
