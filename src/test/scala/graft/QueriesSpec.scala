@@ -10,6 +10,14 @@ class QueriesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("the driver-contract entry point clusters the 1000-row corpus") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "driver smoke-check: entry must return rows")
+    assert(df.columns.contains("image_id") && df.columns.contains("cluster"))
+    assert(rows.length == 1000, "one label per corpus row (singletons included)")
+  }
+
   test("every registered query runs and every oracle key has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // cheap structural run (no action) to catch analysis errors early
