@@ -26,6 +26,25 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Widen a small scan to the session's parallelism before heavy per-row
+    * derivation (gram explode + hash, sketching, pairwise kernels). The
+    * driver's tables are single one-row-group parquet files, so every scan
+    * arrives as ONE task no matter the split conf (guide §2.5:
+    * unsplittable input → repartition right after the read) and the
+    * expensive kernel downstream runs near-serial on a 32-core session.
+    * Rebalancing costs one exchange of the raw rows — a few hundred KB,
+    * orders of magnitude below the kernel work it parallelizes.
+    * Scale-adaptive: sized off the optimizer's size estimate — above
+    * ~8 MB/core the scan splits naturally into ≥ cores tasks and the
+    * input is returned unchanged, so no extra exchange appears at
+    * production scale. Value-neutral: every consumer is an aggregation /
+    * join / keyed window, none order- or partition-sensitive. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(par.toLong * (8L << 20))) df.repartition(par) else df
+  }
+
   /** Cached table row count — the sandbox stand-in for catalog statistics.
     * ANN queries size key widths / cell counts from the row count; a
     * count-per-invocation is an extra job each call (round-3 VERDICT
@@ -71,6 +90,11 @@ object Queries {
     dumpedPaths.getOrElseUpdate(path,
       t(s, d, "events")
         .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        // cluster by the partition column before the partitioned write:
+        // the single-file scan otherwise makes ONE task write all ~30
+        // date directories serially (guide §6: distribution-mode=hash —
+        // same rows, same one-file-per-dir layout, ~30-way parallel)
+        .repartition(col("event_date"))
         .write.mode("overwrite").partitionBy("event_date").parquet(path))
     s.read.parquet(path)
   }
@@ -360,7 +384,11 @@ object Queries {
             }
             rm(loc)
           }
-          df.write.bucketBy(16, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+          // pre-partition by the bucket expression (same hash family as
+          // bucketBy) so the 16 bucket files write in parallel — the
+          // single-file scan otherwise writes all 16 from one task
+          df.repartition(16, col(key))
+            .write.bucketBy(16, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
         }
         tbl
       }
@@ -492,7 +520,9 @@ object Queries {
     // so it costs no extra shuffle over the join.
     "d02_ngram_jaccard" -> { (s, d) =>
       val dfMax = 64
-      val docs = t(s, d, "documents").where(length(col("text")) >= 3)
+      // spread: the 3-gram explode+hash kernel below is the dominant cost
+      // and would otherwise run inside the single scan task (guide §2.5)
+      val docs = spread(s, t(s, d, "documents")).where(length(col("text")) >= 3)
       // grams are hashed to 8-byte longs BEFORE any shuffle: every
       // downstream exchange/join keys on (source, gh) instead of carrying
       // 3-char strings — smaller shuffle rows and long-compare joins. The
@@ -596,7 +626,7 @@ object Queries {
     // vocabulary agg as an unpartitioned window over the tiny vocab frame
     // — no separate count job, no driver scalar.
     "t06_unigram_logprob" -> { (s, d) =>
-      val tokens = t(s, d, "documents")
+      val tokens = spread(s, t(s, d, "documents"))
         .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .withColumn("lp",
@@ -620,7 +650,7 @@ object Queries {
       // digit-runs, punctuation-runs ("it's test-case 3.14 x42" is 4
       // whitespace tokens but 10 BPE-ish tokens)
       val aug = concat(col("text"), lit(" it's test-case 3.14 x42"))
-      t(s, d, "documents").select(col("doc_id"),
+      spread(s, t(s, d, "documents")).select(col("doc_id"),
           regexp_count(aug, lit(bpeRe)).as("n_bpe"),
           size(filter(split(aug, " "), x => x =!= "")).as("n_ws"))
         .withColumn("fertility",
@@ -642,7 +672,7 @@ object Queries {
           concat(lit(" call 555-0"),
             lpad((col("doc_id") % 100).cast("string"), 3, "0")))
           .otherwise(lit("")))
-      t(s, d, "documents").select(col("doc_id"), aug.as("aug"))
+      spread(s, t(s, d, "documents")).select(col("doc_id"), aug.as("aug"))
         .select(col("doc_id"),
           regexp_count(col("aug"), lit(emailRe)).as("n_emails"),
           regexp_count(col("aug"), lit(phoneRe)).as("n_phones"),
@@ -727,7 +757,9 @@ object Queries {
     // within documents, so the dup-fraction path is exercised, not
     // vacuously zero).
     "t12_doc_repetition" -> { (s, d) =>
-      val base = t(s, d, "documents")
+      // spread: the per-row quadratic membership counts below are the
+      // whole cost of this zero-shuffle query (guide §2.5)
+      val base = spread(s, t(s, d, "documents"))
         .select(col("doc_id"), toks(col("text")).as("ws"))
         .withColumn("n_words", size(col("ws")))
       // grams hash to longs IN the lambda (the d-family gram-kernel
@@ -770,7 +802,9 @@ object Queries {
     // DuckDB digit-by-digit, so the oracle re-derives the ENTIRE
     // estimator — ranking, kth-hash fraction, estimate — from raw text.
     "t13_cardinality_kmv" -> { (s, d) =>
-      kmvCardinality(t(s, d, "documents"), kmvK)
+      // spread: the char-8-gram explode runs twice (sketch + exact audit
+      // side) and dominates; both sides parallelize off one rebalance
+      kmvCardinality(spread(s, t(s, d, "documents")), kmvK)
     },
     // TF-IDF SALIENT TERMS — the term-weighting family (keyword
     // extraction / topic tagging, the signal a curation tier uses for
@@ -1092,7 +1126,9 @@ object Queries {
   /** (doc_id, source, mins, simhash) — written once, read by d03–d08. */
   private def docSketches(s: SparkSession, d: String): DataFrame =
     dumpDerived(s, d, "doc_sketches") {
-      t(s, d, "documents").select(col("doc_id"), col("source"),
+      // spread: the MinHash/SimHash sketch kernels are the cost here, and
+      // the single-file scan would run them in one task (guide §2.5)
+      spread(s, t(s, d, "documents")).select(col("doc_id"), col("source"),
         GraftFunctions.captionMinhash(col("text"), docSketch).as("mins"),
         GraftFunctions.captionSimhash(col("text"), docSketch.ksize).as("simhash"))
     }
@@ -1305,7 +1341,9 @@ object Queries {
         transform(sequence(lit(0), size(ts) - 8),
           i => array_join(slice(ts, i + 1, lit(8)), " ")))
         .otherwise(array().cast("array<string>"))
-      val g = docs.select(col("doc_id"), explode(grams).as("gram"))
+      // spread: the 8-token gram build + explode dominates; only the gram
+      // branch is widened — the final left-join scan stays narrow
+      val g = spread(s, docs).select(col("doc_id"), explode(grams).as("gram"))
         .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       val freq = g.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
       val perDoc = g.join(freq, "gh")
@@ -1353,7 +1391,8 @@ object Queries {
       // into a single space, which the space-stripping trim then removes
       // (trim-first would leave non-space leading whitespace behind as a
       // retained space — a gram universe captionMinhash never sketches)
-      val normed = t(s, d, "documents").select(col("doc_id"),
+      // spread: normalization + the distinct-4-gram explode is the cost
+      val normed = spread(s, t(s, d, "documents")).select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("nt"))
       // distinct char-4-grams hashed to longs so the pair joins never
       // carry strings (auditGrams is the shared, spec-pinned derivation)
@@ -1499,7 +1538,8 @@ object Queries {
           transform(sequence(lit(0), (size(ts) / 8).cast("int") - 1),
             i => xxhash64(array_join(slice(ts, i * 8 + 1, lit(8)), " "))))
           .otherwise(array().cast("array<long>"))
-        docs.select(col("doc_id"), posexplode(segHashes).as(Seq("i", "gh")))
+        // spread: tokenization + segment hashing per row (guide §2.5)
+        spread(s, docs).select(col("doc_id"), posexplode(segHashes).as(Seq("i", "gh")))
       }
       val boiler = segRows.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("nd"))
@@ -1676,15 +1716,11 @@ object Queries {
     dumpDerived(s, d, "decon_grams") {
       // the explode multiplies rows ~300× — if the scan arrives narrower
       // than the session (one small parquet file here), everything
-      // downstream runs near-serial. Widening BEFORE the explode costs a
-      // shuffle of the small input (1/300th of the post-explode bytes);
-      // at scale the scan already carries >= cores partitions and this
-      // is a no-op.
-      val base = t(s, d, "documents")
-      val cores = s.sparkContext.defaultParallelism
-      val docs = if (base.rdd.getNumPartitions < cores)
-        base.repartition(cores) else base
-      gramHashes(docs).withColumn("ev", col("doc_id") % 43 === 0)
+      // downstream runs near-serial. [[spread]] widens BEFORE the explode
+      // (a shuffle of the small input, 1/300th of the post-explode bytes);
+      // at scale the scan already splits and spread is a no-op.
+      gramHashes(spread(s, t(s, d, "documents")))
+        .withColumn("ev", col("doc_id") % 43 === 0)
     }
 
   /** Per-doc eval-gram overlap score via the broadcast membership join —
@@ -2134,7 +2170,7 @@ object Queries {
   private def docShingles(s: SparkSession, d: String): DataFrame =
     dumpDerived(s, d, "t04_shingles") {
       val sh = udf((text: String) => Shingles.charShingleHashes(text, 5, 42L))
-      t(s, d, "documents")
+      spread(s, t(s, d, "documents"))
         .select(col("doc_id"), posexplode_outer(sh(col("text"))).as(Seq("pos", "h")))
     }
 
@@ -2144,7 +2180,7 @@ object Queries {
       docShingles(s, d)
       val fp = udf((text: String) =>
         Shingles.winnow(Shingles.charShingleHashes(text, 5, 42L), 8))
-      t(s, d, "documents")
+      spread(s, t(s, d, "documents"))
         .withColumn("fps", fp(col("text")))
         .select(col("doc_id"), size(col("fps")).as("n_fps"),
           // unsigned-decimal rendering of the first fingerprint
@@ -2244,7 +2280,9 @@ object Queries {
     "e01_knn_bruteforce" -> { (s, d) => bruteTopK(s, d) },
     // embedding near-dup pairs, brute force
     "e02_embedding_pairs" -> { (s, d) =>
-      Similarity.bruteForcePairs(t(s, d, "embeddings"), "vec_id", "embedding", minCos = 0.45)
+      // spread: same single-task-crossJoin disease as e01 (see bruteTopK)
+      Similarity.bruteForcePairs(spread(s, t(s, d, "embeddings")),
+        "vec_id", "embedding", minCos = 0.45)
     },
     // the scale path: random-hyperplane LSH buckets (multi-probe,
     // data-adaptive key width) + exact confirm. nRows comes from the
@@ -2371,7 +2409,7 @@ object Queries {
     * Zero vectors pass through unnormalized. */
   private def normalizedEmb(s: SparkSession, d: String): DataFrame = {
     val e0 = transform(col("embedding"), x => x.cast("double"))
-    t(s, d, "embeddings")
+    spread(s, t(s, d, "embeddings"))
       .select(col("vec_id"), e0.as("e0"),
         sqrt(Similarity.dot(e0, e0)).as("nrm"))
       .select(col("vec_id"),
@@ -2421,14 +2459,21 @@ object Queries {
     * the raw table. */
   private def bruteTopK(s: SparkSession, d: String): DataFrame =
     dumpDerived(s, d, "e01_topk")(
-      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding", k = 5))
+      // spread: the quadratic pair kernel inherits the left side's
+      // partitioning — a single-file scan would run all n² dots in ONE
+      // task (measured 4.9 s of 5.3 at sf0.1); widened it fans across
+      // the session (guide §2.5)
+      Similarity.bruteForceTopK(spread(s, t(s, d, "embeddings")),
+        "vec_id", "embedding", k = 5))
 
   /** The trained IVF (codebook, home/probe assignment), each dumped once
     * per (sfDir, JVM) — shared by e04's search, e06's audit, and e07's
     * semantic-dedup prune so the Lloyd rounds and the assignment flop
     * pass run once per sweep however many consumers read them. */
   private def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val emb = t(s, d, "embeddings")
+    // spread: the n×nCells assignment flop pass inherits the scan's
+    // single partition otherwise (train collects — unaffected)
+    val emb = spread(s, t(s, d, "embeddings"))
     val nRows = tableRows(s, d, "embeddings")
     val nCells = math.max(4, math.min(32, (nRows / 16).toInt))
     val lloydIters = if (nRows < 10000L) 3 else 5
@@ -2456,7 +2501,9 @@ object Queries {
     * full band/bucket/cosine-confirm pass previously ran twice). */
   private def embPairs(s: SparkSession, d: String): DataFrame =
     dumpDerived(s, d, "emb_pairs") {
-      Similarity.lshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+      // spread: the hyperplane-key kernel + band explode would otherwise
+      // run inside the single scan task (guide §2.5)
+      Similarity.lshPairs(spread(s, t(s, d, "embeddings")), "vec_id", "embedding",
         minCos = 0.45, dim = 64, nRows = tableRows(s, d, "embeddings"))
     }
 
@@ -3553,7 +3600,8 @@ object Queries {
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             // same kernel, bands, tag as the persisted index build
-            val sk = batch.select(col("doc_id").as("new_id"),
+            // (spread: the sketch kernel would run single-task per batch)
+            val sk = spread(s, batch).select(col("doc_id").as("new_id"),
               GraftFunctions.captionMinhash(col("text"), docSketch).as("mins_n"))
             val banded = Lsh.explodeBands(
               sk.select(col("new_id").as("id"),
@@ -3614,7 +3662,9 @@ object Queries {
           .parquet(inDir.toString)
           .writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            deconScore(gramHashes(batch), evalGrams)
+            // spread: a micro-batch is one staged file → one partition;
+            // the 13-gram kernel would run single-task per batch
+            deconScore(gramHashes(spread(s, batch)), evalGrams)
               .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
             ()
           }
