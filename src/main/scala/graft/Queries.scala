@@ -167,48 +167,62 @@ object Queries {
       }
       def tsLit(ms: Long) =
         lit(new java.sql.Timestamp(ms)).cast(schema("ts").dataType)
-      // session halves at the midpoint cutoff (st03 + st04 share these)
-      stage(events.where(col("ts").cast("timestamp") < cutoff), "b1.parquet")
-      stage(events.where(col("ts").cast("timestamp") >= cutoff), "b2.parquet")
-      // st01 watermark sentinels: 3 h / 4 h beyond max event time
-      for (hrs <- Seq(3, 4))
-        stage(events.limit(1)
-          .withColumn("ts", tsLit(maxTs.getTime + hrs * 3600 * 1000L))
-          .withColumn("event_type", lit("__sentinel")), s"st01_s$hrs.parquet")
-      // st03 per-user closing sentinel batch
-      stage(events.select(col("user_id")).distinct()
-        .withColumn("event_id", lit(-1L))
-        .withColumn("ts", tsLit(maxTs.getTime + 24L * 3600 * 1000))
-        .withColumn("event_type", lit("__sentinel"))
-        .withColumn("value", lit(0.0)).withColumn("props", lit(""))
-        .select(schema.fieldNames.toIndexedSeq.map(col): _*), "st03_sent.parquet")
-      // st04 single-key watermark sentinels (24 h advances the watermark,
-      // 25 h guarantees a DATA batch runs with it applied)
-      for (hrs <- Seq(24, 25))
-        stage(events.limit(1)
-          .withColumn("user_id", lit(-1L))
-          .withColumn("ts", tsLit(maxTs.getTime + hrs * 3600L * 1000))
-          .select(schema.fieldNames.toIndexedSeq.map(col): _*), s"st04_s$hrs.parquet")
-      // st05 delta-document micro-batches (the incremental-dedup probe's
-      // arriving "new" docs, split in two to exercise batch composition)
-      val delta = t(s, d, "documents").where(col("doc_id") % 5 === 0)
-      stage(delta.where(col("doc_id") % 10 === 0), "st05_b1.parquet")
-      stage(delta.where(col("doc_id") % 10 =!= 0), "st05_b2.parquet")
-      // st06 arriving-training-doc micro-batches (the streaming
-      // decontamination probe): the d16 TRAIN side, split in two
-      val train = t(s, d, "documents").where(col("doc_id") % 43 =!= 0)
-      stage(train.where(col("doc_id") % 2 === 0), "st06_b1.parquet")
-      stage(train.where(col("doc_id") % 2 =!= 0), "st06_b2.parquet")
-      // st07 arriving-image micro-batches (the streaming image near-dup
-      // probe): m09's OWN dumped delta slice (`nw`), split in two by a
-      // second hash — reading the dump makes stream-input == m09-input
-      // hold by construction instead of by a duplicated predicate
+      // m09's dumps are a staging input (st07 reads the delta slice) —
+      // materialize them BEFORE the parallel region below, sequentially
       val newImgs = m09Parts(s, d)._1.where(col("nw"))
         .select(col("image_id"), col("phash"))
-      stage(newImgs.where(pmod(xxhash64(concat(col("image_id"), lit("|s"))),
-        lit(2)) === 0), "st07_b1.parquet")
-      stage(newImgs.where(pmod(xxhash64(concat(col("image_id"), lit("|s"))),
-        lit(2)) =!= 0), "st07_b2.parquet")
+      val delta = t(s, d, "documents").where(col("doc_id") % 5 === 0)
+      val train = t(s, d, "documents").where(col("doc_id") % 43 =!= 0)
+      // All 12 staged batch files are independent tiny coalesce(1) write
+      // jobs; run them from a small driver pool so the next job's tasks
+      // back-fill the idle session instead of queueing behind each
+      // serial job's commit (guide §2.6 — measured ~0.1 s of driver+
+      // commit latency per staged file when serial). Job submission is
+      // thread-safe; every write lands in its own temp dir and is moved
+      // to a distinct file name.
+      val work: Seq[(DataFrame, String)] = Seq(
+        // session halves at the midpoint cutoff (st03 + st04 share these)
+        (events.where(col("ts").cast("timestamp") < cutoff), "b1.parquet"),
+        (events.where(col("ts").cast("timestamp") >= cutoff), "b2.parquet"),
+        // st03 per-user closing sentinel batch
+        (events.select(col("user_id")).distinct()
+          .withColumn("event_id", lit(-1L))
+          .withColumn("ts", tsLit(maxTs.getTime + 24L * 3600 * 1000))
+          .withColumn("event_type", lit("__sentinel"))
+          .withColumn("value", lit(0.0)).withColumn("props", lit(""))
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*), "st03_sent.parquet"),
+        // st05 delta-document micro-batches (the incremental-dedup
+        // probe's arriving "new" docs, split to exercise composition)
+        (delta.where(col("doc_id") % 10 === 0), "st05_b1.parquet"),
+        (delta.where(col("doc_id") % 10 =!= 0), "st05_b2.parquet"),
+        // st06 arriving-training-doc micro-batches (d16's TRAIN side)
+        (train.where(col("doc_id") % 2 === 0), "st06_b1.parquet"),
+        (train.where(col("doc_id") % 2 =!= 0), "st06_b2.parquet"),
+        // st07 arriving-image micro-batches: m09's OWN dumped delta
+        // slice (`nw`), split by a second hash — reading the dump makes
+        // stream-input == m09-input hold by construction
+        (newImgs.where(pmod(xxhash64(concat(col("image_id"), lit("|s"))),
+          lit(2)) === 0), "st07_b1.parquet"),
+        (newImgs.where(pmod(xxhash64(concat(col("image_id"), lit("|s"))),
+          lit(2)) =!= 0), "st07_b2.parquet")) ++
+        // st01 watermark sentinels: 3 h / 4 h beyond max event time
+        Seq(3, 4).map(hrs => (events.limit(1)
+          .withColumn("ts", tsLit(maxTs.getTime + hrs * 3600 * 1000L))
+          .withColumn("event_type", lit("__sentinel")),
+          s"st01_s$hrs.parquet")) ++
+        // st04 single-key watermark sentinels (24 h advances the
+        // watermark, 25 h guarantees a DATA batch runs with it applied)
+        Seq(24, 25).map(hrs => (events.limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", tsLit(maxTs.getTime + hrs * 3600L * 1000))
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*),
+          s"st04_s$hrs.parquet"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        work.map { case (df, name) =>
+          pool.submit(new Runnable { def run(): Unit = stage(df, name) })
+        }.foreach(_.get()) // propagate the first failure, if any
+      } finally pool.shutdown()
     })
     dir
   }
@@ -532,10 +546,25 @@ object Queries {
       val allGrams = docs.select(col("doc_id"), col("source"),
           explode(expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")).as("gram"))
         .select(col("doc_id"), col("source"), xxhash64(col("gram")).as("gh"))
-      val rare = allGrams.groupBy(col("source"), col("gh"))
-        .agg(count(lit(1)).as("df")).where(col("df") <= dfMax)
-        .select(col("source"), col("gh"))
-      val grams = allGrams.join(rare, Seq("source", "gh"))
+      // df-filter as a WINDOW over (source, gh) — the oracle's own
+      // QUALIFY formulation and the Lsh.candidatePairsCapped idiom: ONE
+      // explode pass + one exchange instead of a groupBy branch joined
+      // back against a second full explode of the same scan (guide §2.4;
+      // measured: the two explode branches each cost ~17-20 task-seconds
+      // at sf0.1). The window's (source, gh) partitioning and sort are
+      // exactly what the self-join below needs, so the join adds no
+      // exchange or sort on either side.
+      val wdf = Window.partitionBy(col("source"), col("gh"))
+      // materialized once (the dumpDerived discipline): the rare-gram
+      // table has THREE consumers below (sizes + both self-join sides),
+      // and exchange reuse cannot deduplicate this subtree (the lambda-
+      // bearing explode defeats plan canonicalization — measured: each
+      // consumer re-ran the full explode+window pass)
+      val grams = dumpDerived(s, d, "d02_grams") {
+        allGrams.withColumn("df", count(lit(1)).over(wdf))
+          .where(col("df") <= dfMax)
+          .select(col("doc_id"), col("source"), col("gh"))
+      }
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val g1 = grams.select(col("doc_id").as("a"), col("source"), col("gh"))
       val g2 = grams.select(col("doc_id").as("b"), col("source"), col("gh"))
