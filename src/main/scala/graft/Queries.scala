@@ -237,19 +237,49 @@ object Queries {
     dst.toFile.setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
   }
 
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered —
-    * the streaming queries' state stores allocate one instance per
-    * shuffle partition PER MICRO-BATCH, a fixed cost the tiny validation
-    * streams pay 3-5× per query at width 32. The conf is pinned into the
-    * stream's checkpoint at start, so it only affects the scoped query;
-    * restored defensively after (the CC loop's conf-restore pattern). At
-    * production scale a stream would size this to its state, not 8. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+  /** Run `body` with a session conf key temporarily overridden, restored
+    * defensively after (the CC loop's conf-restore pattern). Only sound
+    * around work that EXECUTES inside `body` (dump materializations,
+    * stream runs) — a returned lazy plan executes after the restore. */
+  private def withConf[T](s: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
+
+  /** Run a streaming query's `body` with stream-scoped conf, restored
+    * after (both values are pinned into the stream's checkpoint at start,
+    * so they only affect the scoped query):
+    *
+    *  - `spark.sql.shuffle.partitions` lowered — the state stores
+    *    allocate one instance per shuffle partition PER MICRO-BATCH, a
+    *    fixed cost the tiny validation streams pay 3-5× per query at
+    *    width 32. At production scale a stream sizes this to its state,
+    *    not 8.
+    *  - `spark.sql.streaming.noDataMicroBatches.enabled=false` — the
+    *    engine otherwise appends an extra NO-DATA micro-batch (a full
+    *    plan + state-store lifecycle + sink-commit round) after every
+    *    watermark advance, purely to emit/evict EARLIER than the next
+    *    data batch would. Every st-query's emission is DATA-batch-driven
+    *    by construction, so those extra batches change wall time only,
+    *    never the output: st01/st04 stage a SECOND, later sentinel
+    *    precisely so a data batch runs with the already-advanced
+    *    watermark (closing every real window / firing every timeout
+    *    wall); st02's dedup and st08's inner join emit on row arrival
+    *    (their watermarks only bound state); st03 closes sessions on
+    *    per-user sentinel ROWS (NoTimeout — a no-data batch is a no-op);
+    *    st05-st07 are stateless foreachBatch probes with no watermark at
+    *    all. At production scale re-enabling them is a latency knob
+    *    (sub-batch emission), not a correctness one. */
+  private def withStreamConf[T](s: SparkSession, n: Int)(body: => T): T =
+    withConf(s, "spark.sql.shuffle.partitions", n.toString) {
+      withConf(s, "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
+        body
+      }
+    }
 
   /** Corpus size for multimodal queries, scaled off the sf dir name. */
   def corpusRows(dir: String): Long =
@@ -2527,13 +2557,26 @@ object Queries {
 
   /** Hyperplane-LSH near-dup pairs over the embeddings table, dumped once
     * per (sfDir, JVM): e03 returns the pair set and e05 clusters it (the
-    * full band/bucket/cosine-confirm pass previously ran twice). */
+    * full band/bucket/cosine-confirm pass previously ran twice).
+    *
+    * The dump materializes under a lowered AQE
+    * `coalescePartitions.minPartitionSize`: the bucket pair-expansion and
+    * cosine-confirm stages amplify CPU per shuffle BYTE by orders of
+    * magnitude (8-byte keys in, vector dot products out), so the default
+    * byte-based floor (1m) coalesces their ~1-9 MB shuffle reads to 1-8
+    * tasks and serializes the kernel (measured: 2.8 s single-task pair
+    * gen + 7 s/8-task confirm at sf0.1; -1.0 s wall with 64k). The knob
+    * is inert at production scale by construction: AQE's target is
+    * max(totalBytes/parallelism, minPartitionSize), so it only bites
+    * when a shuffle is smaller than cores × 1 MB. */
   private def embPairs(s: SparkSession, d: String): DataFrame =
-    dumpDerived(s, d, "emb_pairs") {
-      // spread: the hyperplane-key kernel + band explode would otherwise
-      // run inside the single scan task (guide §2.5)
-      Similarity.lshPairs(spread(s, t(s, d, "embeddings")), "vec_id", "embedding",
-        minCos = 0.45, dim = 64, nRows = tableRows(s, d, "embeddings"))
+    withConf(s, "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k") {
+      dumpDerived(s, d, "emb_pairs") {
+        // spread: the hyperplane-key kernel + band explode would otherwise
+        // run inside the single scan task (guide §2.5)
+        Similarity.lshPairs(spread(s, t(s, d, "embeddings")), "vec_id", "embedding",
+          minCos = 0.45, dim = 64, nRows = tableRows(s, d, "embeddings"))
+      }
     }
 
   /** Shared IVF-PQ derivation CTEs for the e08/e09 oracles: normalized
@@ -3390,7 +3433,7 @@ object Queries {
       copyBatch(staged.resolve("b2.parquet"), inDir, "b2.parquet", 30000L)
       copyBatch(staged.resolve("st01_s3.parquet"), inDir, "b3.parquet", 60000L)
       copyBatch(staged.resolve("st01_s4.parquet"), inDir, "b4.parquet", 120000L)
-      withShufflePartitions(s, 8) {
+      withStreamConf(s, 8) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(inDir.toString)
@@ -3429,7 +3472,7 @@ object Queries {
       val ckpt = Files.createTempDirectory("st08_ckpt").toString
       copyBatch(staged.resolve("b1.parquet"), inDir, "b1.parquet", 0L)
       copyBatch(staged.resolve("b2.parquet"), inDir, "b2.parquet", 30000L)
-      withShufflePartitions(s, 8) {
+      withStreamConf(s, 8) {
         // two independent sources over the same staged files, each
         // filtered to its event type (each readStream call is its own
         // source with its own offsets; the global watermark is the MIN
@@ -3473,7 +3516,7 @@ object Queries {
       val schema = events.schema
       val outDir = Files.createTempDirectory("st02_out").toString
       val ckpt = Files.createTempDirectory("st02_ckpt").toString
-      withShufflePartitions(s, 8) {
+      withStreamConf(s, 8) {
         val q = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(d)
@@ -3508,7 +3551,7 @@ object Queries {
       copyBatch(staged.resolve("b1.parquet"), inDir, "b1.parquet", 0L)
       copyBatch(staged.resolve("b2.parquet"), inDir, "b2.parquet", 60000L)
       copyBatch(staged.resolve("st03_sent.parquet"), inDir, "b3.parquet", 120000L)
-      withShufflePartitions(s, 8) {
+      withStreamConf(s, 8) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(inDir.toString)
@@ -3564,7 +3607,7 @@ object Queries {
       // for
       copyBatch(staged.resolve("st04_s24.parquet"), inDir, "b3.parquet", 120000L)
       copyBatch(staged.resolve("st04_s25.parquet"), inDir, "b4.parquet", 180000L)
-      withShufflePartitions(s, 8) {
+      withStreamConf(s, 8) {
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.toString)
@@ -3622,7 +3665,7 @@ object Queries {
       val ckpt = Files.createTempDirectory("st05_ckpt").toString
       copyBatch(staged.resolve("st05_b1.parquet"), inDir, "b1.parquet", 0L)
       copyBatch(staged.resolve("st05_b2.parquet"), inDir, "b2.parquet", 60000L)
-      withShufflePartitions(s, 8) {
+      withStreamConf(s, 8) {
         val q = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(inDir.toString)
@@ -3685,7 +3728,7 @@ object Queries {
       val ckpt = Files.createTempDirectory("st06_ckpt").toString
       copyBatch(staged.resolve("st06_b1.parquet"), inDir, "b1.parquet", 0L)
       copyBatch(staged.resolve("st06_b2.parquet"), inDir, "b2.parquet", 60000L)
-      withShufflePartitions(s, 8) {
+      withStreamConf(s, 8) {
         val q = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(inDir.toString)
@@ -3723,7 +3766,7 @@ object Queries {
       val ckpt = Files.createTempDirectory("st07_ckpt").toString
       copyBatch(staged.resolve("st07_b1.parquet"), inDir, "b1.parquet", 0L)
       copyBatch(staged.resolve("st07_b2.parquet"), inDir, "b2.parquet", 60000L)
-      withShufflePartitions(s, 8) {
+      withStreamConf(s, 8) {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(inDir.toString)
