@@ -572,10 +572,14 @@ object Queries {
       // 3-char strings — smaller shuffle rows and long-compare joins. The
       // jaccard value is identical unless two distinct grams collide in
       // 64 bits (~10⁴ distinct 3-grams → P ≈ 1e-11; the hash-match
-      // oracle gate would surface a collision as a value diff).
+      // oracle gate would surface a collision as a value diff). The hash
+      // sits INSIDE the lambda so array_distinct dedups primitive longs
+      // (hash-set fast path) instead of 3-char strings — the gramHashes
+      // idiom; xxhash64 of the same substring, so the values are
+      // unchanged and only a WITHIN-doc cross-gram collision (absorbed
+      // into the same ~1e-11 budget) could differ from distinct-then-hash.
       val allGrams = docs.select(col("doc_id"), col("source"),
-          explode(expr("array_distinct(transform(sequence(1, length(text)-2), i -> substring(text, i, 3)))")).as("gram"))
-        .select(col("doc_id"), col("source"), xxhash64(col("gram")).as("gh"))
+          explode(expr("array_distinct(transform(sequence(1, length(text)-2), i -> xxhash64(substring(text, i, 3))))")).as("gh"))
       // df-filter as a WINDOW over (source, gh) — the oracle's own
       // QUALIFY formulation and the Lsh.candidatePairsCapped idiom: ONE
       // explode pass + one exchange instead of a groupBy branch joined
@@ -589,15 +593,41 @@ object Queries {
       // table has THREE consumers below (sizes + both self-join sides),
       // and exchange reuse cannot deduplicate this subtree (the lambda-
       // bearing explode defeats plan canonicalization — measured: each
-      // consumer re-ran the full explode+window pass)
-      val grams = dumpDerived(s, d, "d02_grams") {
-        allGrams.withColumn("df", count(lit(1)).over(wdf))
-          .where(col("df") <= dfMax)
-          .select(col("doc_id"), col("source"), col("gh"))
+      // consumer re-ran the full explode+window pass). The dump runs
+      // under the 64k AQE minPartitionSize scope (see embPairs): the
+      // window stage reads ~7 MB of shuffle but carries the df-count
+      // compute, and the default 1m floor coalesced it to 6 tasks
+      // (measured 10 task-seconds → ~1.7 s wall at sf0.1).
+      val grams = withConf(s,
+          "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k") {
+        dumpDerived(s, d, "d02_grams") {
+          allGrams.withColumn("df", count(lit(1)).over(wdf))
+            .where(col("df") <= dfMax)
+            .select(col("doc_id"), col("source"), col("gh"))
+        }
       }
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      // The self-join runs OUTSIDE the scoped conf (it executes at sink
+      // time), so its width is pinned with explicit join-key repartitions
+      // instead: the dump is tens of KB, and byte-based AQE coalescing
+      // ran the pair-expansion join in ONE task (measured 1.2 s
+      // task-time) while its CPU amplification is ~10³ per shuffle byte.
+      // A user repartition is never coalesced; it IS the exchange the
+      // join would insert (same key, so ENSURE_REQUIREMENTS adds
+      // nothing), and both sides share one width so the SMJ stays
+      // co-partitioned under any session conf. The (a, b) rollup's
+      // map-side partial aggregation rides IN the widened join stage, so
+      // it parallelizes with it; the rollup exchange itself is left to
+      // the planner (a user repartition there would be a barrier below
+      // which the partial agg cannot push, shuffling raw pair incidences
+      // instead of per-task counts). Skew is bounded by construction
+      // (df ≤ 64 caps every join group), so forgoing AQE skew-split here
+      // loses nothing.
+      val par2 = s.sparkContext.defaultParallelism
       val g1 = grams.select(col("doc_id").as("a"), col("source"), col("gh"))
+        .repartition(par2, col("source"), col("gh"))
       val g2 = grams.select(col("doc_id").as("b"), col("source"), col("gh"))
+        .repartition(par2, col("source"), col("gh"))
       val common = g1.join(g2, Seq("source", "gh"))
         .where(col("a") < col("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
@@ -1182,6 +1212,20 @@ object Queries {
           "array_distinct(transform(sequence(1, length(nt)-3), i -> substring(nt, i, 4)))"))
         .otherwise(array(col("nt")))).as("gram"))
 
+  /** [[auditGrams]]' production twin with the hash INSIDE the lambda
+    * (the gramHashes idiom): array_distinct dedups primitive longs
+    * instead of 4-char strings, and no gram string survives the stage
+    * that makes it. Same xxhash64 over the same substrings, so it equals
+    * `auditGrams → xxhash64(gram)` row-for-row unless two distinct grams
+    * of ONE doc collide in 64 bits (≲ 1e-13 per doc here; the oracle
+    * distincts exact strings, so the hash gate would surface one) —
+    * QueriesSpec pins the equivalence on the hostile short-text corpus. */
+  private[graft] def auditGramHashes(normed: DataFrame): DataFrame =
+    normed.where(length(col("nt")) >= 1)
+      .select(col("doc_id"), explode(when(length(col("nt")) >= 4, expr(
+          "array_distinct(transform(sequence(1, length(nt)-3), i -> xxhash64(substring(nt, i, 4))))"))
+        .otherwise(array(xxhash64(col("nt"))))).as("gh"))
+
   /** (doc_id, source, mins, simhash) — written once, read by d03–d08. */
   private def docSketches(s: SparkSession, d: String): DataFrame =
     dumpDerived(s, d, "doc_sketches") {
@@ -1454,9 +1498,9 @@ object Queries {
       val normed = spread(s, t(s, d, "documents")).select(col("doc_id"),
         trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("nt"))
       // distinct char-4-grams hashed to longs so the pair joins never
-      // carry strings (auditGrams is the shared, spec-pinned derivation)
-      val grams = auditGrams(normed)
-        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      // carry strings (auditGrams pins the universe rule in the spec;
+      // auditGramHashes is its hash-inside-the-lambda production twin)
+      val grams = auditGramHashes(normed)
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val cands = docCandidates(s, d)
       val common = cands

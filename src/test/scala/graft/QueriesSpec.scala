@@ -95,6 +95,16 @@ class QueriesSpec extends AnyFunSuite {
         else if (nt.length < 4) Set(nt) else nt.sliding(4).toSet
       assert(got.getOrElse(id, Set.empty) === kernel, s"doc $id")
     }
+    // the production derivation (hash inside the lambda, distinct on
+    // longs) must equal auditGrams → xxhash64(gram) row-for-row on the
+    // same hostile corpus — d15 runs auditGramHashes, the spec above
+    // pins auditGrams, this equality ties the two
+    val viaStrings = Queries.auditGrams(normed)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaHashes = Queries.auditGramHashes(normed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHashes === viaStrings)
   }
 
   test("sm07 angular scoring clamps fp round-up past ρ=1 to similarity 1.0, never NaN") {
