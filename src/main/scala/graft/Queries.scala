@@ -73,10 +73,24 @@ object Queries {
 
   private val dumpedPaths = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
-  /** Write `df` once per (sfDir, name) per JVM; read the parquet back. */
-  private def dumpDerived(s: SparkSession, d: String, name: String)(df: => DataFrame): DataFrame = {
+  /** Write `df` once per (sfDir, name) per JVM; read the parquet back.
+    * `files > 0` bounds the dump's part-file count via a write-side
+    * repartition AFTER the (possibly spread-widened) kernel computes:
+    * a small dump with many re-reading consumers (the sketch/band index
+    * tables — d12 alone scans them five times) otherwise pays per-file
+    * open + task-scheduling overhead on every probe once the kernel
+    * write goes 32-wide (guide §6: small files hurt twice). The
+    * bounding exchange moves only the dump's own bytes (≤ ~1 MB for the
+    * index tables here); a production deployment sizes dump files to
+    * 128 MB-1 GB with the same knob. */
+  private def dumpDerived(s: SparkSession, d: String, name: String,
+      files: Int = 0)(df: => DataFrame): DataFrame = {
     val path = s"${derivedDir(d)}/$name.parquet"
-    dumpedPaths.getOrElseUpdate(path, df.write.mode("overwrite").parquet(path))
+    dumpedPaths.getOrElseUpdate(path, {
+      val out = df
+      (if (files > 0) out.repartition(files) else out)
+        .write.mode("overwrite").parquet(path)
+    })
     s.read.parquet(path)
   }
 
@@ -1226,9 +1240,11 @@ object Queries {
           "array_distinct(transform(sequence(1, length(nt)-3), i -> xxhash64(substring(nt, i, 4))))"))
         .otherwise(array(xxhash64(col("nt"))))).as("gh"))
 
-  /** (doc_id, source, mins, simhash) — written once, read by d03–d08. */
+  /** (doc_id, source, mins, simhash) — written once, read by d03–d08 and
+    * the d12/st05 index probes; `files = 1` keeps the much-re-read index
+    * a single part file while the sketch kernel still computes 32-wide. */
   private def docSketches(s: SparkSession, d: String): DataFrame =
-    dumpDerived(s, d, "doc_sketches") {
+    dumpDerived(s, d, "doc_sketches", files = 1) {
       // spread: the MinHash/SimHash sketch kernels are the cost here, and
       // the single-file scan would run them in one task (guide §2.5)
       spread(s, t(s, d, "documents")).select(col("doc_id"), col("source"),
@@ -1238,7 +1254,7 @@ object Queries {
 
   /** (id, bandKey) — the exploded MinHash LSH band table over doc_id. */
   private def docBanded(s: SparkSession, d: String): DataFrame =
-    dumpDerived(s, d, "doc_banded") {
+    dumpDerived(s, d, "doc_banded", files = 1) {
       Lsh.explodeBands(
         docSketches(s, d).select(col("doc_id").as("id"),
           GraftFunctions.minhashBands(col("mins"), bands = 16, rowsPerBand = 8).as("bk")),
@@ -1250,8 +1266,14 @@ object Queries {
     * d14/d15), and the bucket-size window over the exploded band table is
     * the expensive step; re-running it per consumer was pure repeat work. */
   private def docCandidates(s: SparkSession, d: String): DataFrame =
-    dumpDerived(s, d, "doc_candidates") {
-      Lsh.candidatePairs(docBanded(s, d), maxBucket = 64)
+    // 64k minPartitionSize scope (see embPairs): the bucket window +
+    // in-bucket pair generation read ~1 MB of banded shuffle but carry
+    // the pair-expansion compute, so the default byte floor ran them in
+    // ONE task (measured 0.8 s single-task at sf0.1); inert at scale.
+    withConf(s, "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k") {
+      dumpDerived(s, d, "doc_candidates") {
+        Lsh.candidatePairs(docBanded(s, d), maxBucket = 64)
+      }
     }
 
   /** (doc_id, cluster) — the ≥0.5-Jaccard-confirmed near-dup clustering,
