@@ -41,12 +41,27 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** One-partition copy of the cross join's RIGHT side. CartesianRDD
+    * launches (left parts × right parts) tasks, so a caller-widened
+    * left (e.g. 32 partitions via `spread`) crossed with itself spawned
+    * 32×32 = 1024 tasks of ~5 ms each — the n² kernel became DRIVER
+    * scheduling latency (~3 ms/task serial), measured ~4 s wall for
+    * ~6 s of total task time at sf0.1. Collapsing the right side to one
+    * partition makes it left×1 tasks: every task streams the full right
+    * side (one shuffle block, re-read per task — the small declared
+    * baseline input) against its own left slice, so parallelism equals
+    * the left width and scheduling is O(left). The repartition moves the
+    * right side's vectors once (~MBs at the declared baseline scales;
+    * these brute-force entries are baselines by contract, never the
+    * production path). */
+  private def oneSlice(df: DataFrame): DataFrame = df.repartition(1)
+
   /** All pairs (id < id) with cosine ≥ minCos — brute force. */
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String, minCos: Double): DataFrame = {
     val withNorm = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
     val a = withNorm.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
-    val b = withNorm.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    val b = oneSlice(withNorm.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")))
     a.crossJoin(b).where(col("a") < col("b"))
       .withColumn("cos", cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .where(col("cos") >= minCos)
@@ -58,7 +73,8 @@ object Similarity {
     val withNorm = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", dot(col("v"), col("v")))
     val a = withNorm.select(col("id").as("vec_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = withNorm.select(col("id").as("neighbor"), col("v").as("vb"), col("nrm").as("nb"))
+    val b = oneSlice(
+      withNorm.select(col("id").as("neighbor"), col("v").as("vb"), col("nrm").as("nb")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor"))
     a.crossJoin(b).where(col("vec_id") =!= col("neighbor"))
       .withColumn("cos", cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
