@@ -614,7 +614,7 @@ object Queries {
       // (measured 10 task-seconds → ~1.7 s wall at sf0.1).
       val grams = withConf(s,
           "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k") {
-        dumpDerived(s, d, "d02_grams") {
+        dumpDerived(s, d, "d02_grams", files = 1) {
           allGrams.withColumn("df", count(lit(1)).over(wdf))
             .where(col("df") <= dfMax)
             .select(col("doc_id"), col("source"), col("gh"))
@@ -2551,7 +2551,7 @@ object Queries {
       Similarity.pqTrain(normalizedEmb(s, d), "vec_id", "embedding",
         m = pqM, ks = pqKs, subDim = pqSubDim))
     val cbLit = Similarity.pqCodebookLiteral(codebook, pqM, pqKs, pqSubDim)
-    val codes = dumpDerived(s, d, "e08_codes")(
+    val codes = dumpDerived(s, d, "e08_codes", files = 1)(
       normalizedEmb(s, d).select(col("vec_id").as("id"),
         Similarity.pqEncodeCol(col("embedding"), cbLit, pqM, pqKs, pqSubDim).as("codes")))
     (cbLit, codes)
@@ -2583,7 +2583,7 @@ object Queries {
     * per sweep instead of twice. The e01 oracle still re-derives it from
     * the raw table. */
   private def bruteTopK(s: SparkSession, d: String): DataFrame =
-    dumpDerived(s, d, "e01_topk")(
+    dumpDerived(s, d, "e01_topk", files = 1)(
       // spread: the quadratic pair kernel inherits the left side's
       // partitioning — a single-file scan would run all n² dots in ONE
       // task (measured 4.9 s of 5.3 at sf0.1); widened it fans across
@@ -2618,7 +2618,7 @@ object Queries {
     val search = Similarity.ivfSearch(emb, "vec_id", "embedding", assign, k = 5)
     // dumpResult=false returns the live search plan (spec plan probes);
     // the registered query dumps so e04 and the e06 audit share one run
-    if (dumpResult) dumpDerived(s, d, "e04_topk")(search) else search
+    if (dumpResult) dumpDerived(s, d, "e04_topk", files = 1)(search) else search
   }
 
   /** Hyperplane-LSH near-dup pairs over the embeddings table, dumped once
@@ -2637,7 +2637,7 @@ object Queries {
     * when a shuffle is smaller than cores × 1 MB. */
   private def embPairs(s: SparkSession, d: String): DataFrame =
     withConf(s, "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k") {
-      dumpDerived(s, d, "emb_pairs") {
+      dumpDerived(s, d, "emb_pairs", files = 1) {
         // spread: the hyperplane-key kernel + band explode would otherwise
         // run inside the single scan task (guide §2.5)
         Similarity.lshPairs(spread(s, t(s, d, "embeddings")), "vec_id", "embedding",
