@@ -729,7 +729,10 @@ object Queries {
     // vocabulary agg as an unpartitioned window over the tiny vocab frame
     // — no separate count job, no driver scalar.
     "t06_unigram_logprob" -> { (s, d) =>
-      val tokens = spread(s, t(s, d, "documents"))
+      // no spread: the whitespace explode is too cheap to amortize the
+      // widening exchange, and `tokens` has two consumers that would
+      // each rerun it (measured +0.2-0.3 s with spread at sf0.1)
+      val tokens = t(s, d, "documents")
         .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .withColumn("lp",
@@ -753,7 +756,9 @@ object Queries {
       // digit-runs, punctuation-runs ("it's test-case 3.14 x42" is 4
       // whitespace tokens but 10 BPE-ish tokens)
       val aug = concat(col("text"), lit(" it's test-case 3.14 x42"))
-      spread(s, t(s, d, "documents")).select(col("doc_id"),
+      // no spread: the single regexp_count pass is cheaper than the
+      // widening exchange at this scale (measured +0.1 s with spread)
+      t(s, d, "documents").select(col("doc_id"),
           regexp_count(aug, lit(bpeRe)).as("n_bpe"),
           size(filter(split(aug, " "), x => x =!= "")).as("n_ws"))
         .withColumn("fertility",
@@ -2305,6 +2310,9 @@ object Queries {
       docShingles(s, d)
       val fp = udf((text: String) =>
         Shingles.winnow(Shingles.charShingleHashes(text, 5, 42L), 8))
+      // spread stays here: the winnow UDF re-hashes every 5-gram per row
+      // (same murmur work as the shingle kernel), so a single-task scan
+      // serializes it (measured +0.5 s without spread)
       spread(s, t(s, d, "documents"))
         .withColumn("fps", fp(col("text")))
         .select(col("doc_id"), size(col("fps")).as("n_fps"),
