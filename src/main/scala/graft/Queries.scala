@@ -2298,6 +2298,9 @@ object Queries {
     * the t04 winnowing and d09 scaled-cutoff oracles can replicate their
     * selection logic independently from the same kernel output. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
+    // stays 32-wide: bounding to one file was tried and measured SLOWER
+    // (+0.4 s) — the single-task parquet encode of the ~2.5M-row shingle
+    // stream costs more than the 32 small write commits it saves
     dumpDerived(s, d, "t04_shingles") {
       val sh = udf((text: String) => Shingles.charShingleHashes(text, 5, 42L))
       spread(s, t(s, d, "documents"))
